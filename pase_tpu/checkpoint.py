@@ -1,0 +1,226 @@
+"""Checkpointing: native format, rolling Saver, and torch interop.
+
+* Native format: a single ``.npz`` holding the flattened variable tree
+  (params + batch_stats + optimizer state) plus a JSON sidecar-free
+  ``__meta__`` entry with the step. Self-contained, mmap-friendly.
+* ``Saver`` mirrors the reference's JSON ``checkpoints`` index with rolling
+  ``max_ckpts`` retention (/root/reference/pase/models/modules.py:151-301).
+* ``torch_to_variables`` converts reference PyTorch state dicts (e.g. the
+  published ``FE_e199.ckpt`` encoder artifact) to our variable trees,
+  replicating ``load_pretrained_ckpt``'s key/shape filtering
+  (modules.py:267-301).
+"""
+
+import io
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.core import freeze, unfreeze
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+# ---------------------------------------------------------------------------
+# native save / load
+# ---------------------------------------------------------------------------
+
+def _flat(tree) -> Dict[str, np.ndarray]:
+    flat = flatten_dict(unfreeze(tree) if hasattr(tree, "unfreeze") or
+                        isinstance(tree, dict) else tree, sep="/")
+    return {k: np.asarray(v) for k, v in flat.items()}
+
+
+def save_variables(path: str, variables, step: int = 0, extra: Optional[dict] = None):
+    flat = _flat(variables)
+    meta = {"step": int(step)}
+    if extra:
+        meta.update(extra)
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8).copy()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+    return path
+
+
+def load_variables(path: str):
+    data = np.load(path, allow_pickle=False)
+    meta = {}
+    tree = {}
+    for k in data.files:
+        if k == "__meta__":
+            meta = json.loads(bytes(data[k].tobytes()).decode("utf-8"))
+        else:
+            tree[k] = jnp.asarray(data[k])
+    return freeze(unflatten_dict(tree, sep="/")), meta
+
+
+class Saver:
+    """Rolling checkpoint manager with a JSON index, mirroring the reference
+    Saver semantics (latest list, current pointer, max_ckpts deletion)."""
+
+    def __init__(self, save_path: str, max_ckpts: int = 5, prefix: str = ""):
+        self.save_path = save_path
+        self.max_ckpts = max_ckpts
+        self.prefix = prefix
+        self.index_path = os.path.join(save_path, f"{prefix}checkpoints")
+
+    def _read_index(self):
+        if os.path.exists(self.index_path):
+            with open(self.index_path, "r") as f:
+                return json.load(f)
+        return {"latest": [], "current": None}
+
+    def save(self, name: str, variables, step: int, extra: Optional[dict] = None):
+        os.makedirs(self.save_path, exist_ok=True)
+        ckpts = self._read_index()
+        model_path = f"{self.prefix}{name}-{step}.npz"
+        latest = ckpts["latest"]
+        if self.max_ckpts is not None and len(latest) >= self.max_ckpts:
+            todel = latest[0]
+            try:
+                os.remove(os.path.join(self.save_path, "weights_" + todel))
+            except FileNotFoundError:
+                pass
+            latest = latest[1:]
+        latest.append(model_path)
+        ckpts["latest"] = latest
+        ckpts["current"] = model_path
+        with open(self.index_path, "w") as f:
+            f.write(json.dumps(ckpts, indent=2))
+        save_variables(os.path.join(self.save_path, "weights_" + model_path),
+                       variables, step, extra)
+        return model_path
+
+    def read_latest_checkpoint(self) -> Optional[str]:
+        ckpts = self._read_index()
+        return ckpts.get("current")
+
+    def load_weights(self):
+        cur = self.read_latest_checkpoint()
+        if cur is None:
+            return None, None
+        return load_variables(os.path.join(self.save_path, "weights_" + cur))
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict conversion
+# ---------------------------------------------------------------------------
+
+def _load_torch_state_dict(path):
+    import torch
+    st = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(st, dict) and "state_dict" in st:
+        st = st["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in st.items()}
+
+
+def _map_torch_key(tkey: str):
+    """Map one torch WaveFe state-dict key to (collection, path tuple,
+    transform tag). Returns None for keys we drop (num_batches_tracked)."""
+    parts = tkey.split(".")
+    if parts[-1] == "num_batches_tracked":
+        return None
+    # module path: 'blocks.0' -> 'blocks_0'; 'denseskips.3' -> 'denseskips_3'
+    # 'rnn.layers.0.linear' -> ('rnn', 'layers_0_linear')
+    path = []
+    i = 0
+    while i < len(parts) - 1:
+        p = parts[i]
+        if i + 1 < len(parts) - 1 and parts[i + 1].isdigit():
+            if p == "layers" and i + 2 < len(parts) and parts[i + 2] == "linear":
+                path.append(f"layers_{parts[i+1]}_linear")
+                i += 3
+                continue
+            path.append(f"{p}_{parts[i+1]}")
+            i += 2
+        else:
+            path.append(p)
+            i += 1
+    leaf = parts[-1]
+    if leaf == "low_hz_":
+        return ("params", tuple(path) + ("low_hz",), "id")
+    if leaf == "band_hz_":
+        return ("params", tuple(path) + ("band_hz",), "id")
+    if leaf == "running_mean":
+        return ("batch_stats", tuple(path) + ("mean",), "id")
+    if leaf == "running_var":
+        return ("batch_stats", tuple(path) + ("var",), "id")
+    if leaf == "weight":
+        return ("params", tuple(path), "weight")
+    if leaf == "bias":
+        return ("params", tuple(path) + ("bias",), "id")
+    return ("params", tuple(path) + (leaf,), "id")
+
+
+def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
+                       load_last: bool = True, verbose: bool = False):
+    """Convert a torch state dict into our variable tree, filling entries
+    that exist in ``ref_variables`` with matching shapes (the reference's
+    key/shape-intersection loading, modules.py:283-296)."""
+    ref = unfreeze(ref_variables)
+    flat_ref = flatten_dict(ref)
+    keys = list(state_dict.keys())
+    if not load_last:
+        keys = keys[:-2]
+    loaded, skipped = [], []
+    for tkey in keys:
+        mapped = _map_torch_key(tkey)
+        if mapped is None:
+            continue
+        col, path, tag = mapped
+        arr = state_dict[tkey]
+        if tag == "weight":
+            # decide kernel vs elementwise weight by destination presence
+            cand_kernel = (col,) + path + ("kernel",)
+            cand_weight = (col,) + path + ("weight",)
+            cand_scale = (col,) + path + ("scale",)
+            if cand_kernel in flat_ref:
+                dest = cand_kernel
+                if arr.ndim == 3:
+                    ref_shape = flat_ref[dest].shape
+                    a = arr.transpose(2, 1, 0)   # conv (O,I,K) -> (K,I,O)
+                    if a.shape != ref_shape and arr.transpose(2, 0, 1).shape \
+                            == ref_shape:
+                        a = arr.transpose(2, 0, 1)  # deconv (I,O,K)->(K,O,I)
+                    arr = a
+                elif arr.ndim == 2:
+                    arr = arr.T                   # linear (O,I) -> (I,O)
+            elif cand_weight in flat_ref:
+                dest = cand_weight
+            elif cand_scale in flat_ref:
+                dest = cand_scale
+            else:
+                skipped.append(tkey)
+                continue
+        else:
+            dest = (col,) + path
+            if dest not in flat_ref:
+                skipped.append(tkey)
+                continue
+            if arr.ndim == 2 and flat_ref[dest].ndim == 2 and \
+                    arr.shape == flat_ref[dest].shape[::-1] and \
+                    arr.shape != flat_ref[dest].shape:
+                arr = arr.T
+        if dest not in flat_ref or flat_ref[dest].shape != arr.shape:
+            skipped.append(tkey)
+            continue
+        flat_ref[dest] = jnp.asarray(arr)
+        loaded.append(tkey)
+    if verbose:
+        print(f"[torch_to_variables] loaded {len(loaded)} keys, "
+              f"skipped {skipped}")
+    return freeze(unflatten_dict(flat_ref))
+
+
+def load_frontend_ckpt(path: str, module, variables, load_last: bool = True,
+                       verbose: bool = False):
+    """Load a frontend checkpoint from native .npz or torch .ckpt."""
+    if path.endswith(".npz"):
+        loaded, _ = load_variables(path)
+        return loaded
+    state_dict = _load_torch_state_dict(path)
+    return torch_to_variables(state_dict, variables, load_last=load_last,
+                              verbose=verbose)

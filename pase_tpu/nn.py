@@ -1,0 +1,352 @@
+"""Common neural blocks (flax.linen), NTC layout.
+
+These reproduce the behavioral contracts of the reference blocks in
+/root/reference/pase/models/modules.py, re-expressed as functional JAX:
+
+* ``BatchNorm1d``  — torch-semantics batch norm (biased batch var for the
+  normalization, unbiased var for the running update, momentum 0.1).
+* ``PReLU``        — per-channel parametric ReLU.
+* ``FeBlock``      — pad(reflect) -> conv/sinc -> norm -> activation
+                     (modules.py:1014-1077).
+* ``QRNN``         — window-2 quasi-recurrent layer (modules.py:45-60 +
+                     torchqrnn semantics), scan in pase_tpu.ops.qrnn.
+* ``GDeconv1DBlock`` / ``MLPBlock`` — worker-head building blocks
+                     (modules.py:558-589, 527-556).
+
+All time-domain tensors are [B, T, C]; channels sit on the TPU lane dim.
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pase_tpu.ops.pad import pad_1d, feblock_pad, sinc_same_pad
+from pase_tpu.ops.sinc import mel_init_hz, sinc_time_axes, build_sinc_filters
+from pase_tpu.ops.qrnn import qrnn_pool, shift_right
+
+
+def conv1d(x, kernel, stride=1, dilation=1):
+    """1-D convolution, NTC x [K, Cin, Cout] kernel, VALID padding."""
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU; init matches the reference (0 inside FeBlocks —
+    modules.py:111-113 — and 0.25 for torch-default MLP blocks)."""
+    features: int
+    init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("weight", lambda k: jnp.full((self.features,), self.init,
+                                                    dtype=jnp.float32))
+        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+class BatchNorm1d(nn.Module):
+    """Torch-semantics BatchNorm over the channel axis of [B, T, C].
+
+    Stats are computed over (B, T). Running update uses unbiased variance
+    and momentum 0.1 like torch.nn.BatchNorm1d; normalization uses biased
+    batch variance in training and the running stats in eval.
+    """
+    features: int
+    affine: bool = True
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+        if train:
+            mean = jnp.mean(x, axis=(0, 1))
+            var = jnp.mean(jnp.square(x - mean), axis=(0, 1))
+            n = x.shape[0] * x.shape[1]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("weight", nn.initializers.ones, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y * scale + bias
+        return y
+
+
+class InstanceNorm1d(nn.Module):
+    """torch InstanceNorm1d (affine optional, no running stats): per-sample
+    per-channel normalization over time."""
+    features: int
+    affine: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("weight", nn.initializers.ones, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y * scale + bias
+        return y
+
+
+class LayerNorm1d(nn.Module):
+    """torch LayerNorm over the channel dim (reference transposes to apply
+    it channel-last — modules.py:100-107; we are channel-last natively)."""
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return y * scale + bias
+
+
+def build_norm(norm_type: Optional[str], features: int, name: str = "norm"):
+    """Factory mirroring build_norm_layer (modules.py:77-98).
+
+    'snorm'/'wnorm' (weight reparameterizations) are intentionally not
+    supported in the functional core; configs using them raise.
+    """
+    if norm_type == "bnorm":
+        return BatchNorm1d(features, affine=True, name=name)
+    if norm_type == "lnorm":
+        return LayerNorm1d(features, name=name)
+    if norm_type == "inorm":
+        return InstanceNorm1d(features, affine=False, name=name)
+    if norm_type == "affinorm":
+        return InstanceNorm1d(features, affine=True, name=name)
+    if norm_type is None:
+        return None
+    raise TypeError(f"Unrecognized norm type: {norm_type}")
+
+
+class Conv1D(nn.Module):
+    """Thin Conv1d with torch-compatible parameter shapes semantics.
+
+    Kernel is stored flax-style [K, Cin, Cout]; torch weights [Cout, Cin, K]
+    convert via transpose(2, 1, 0) (see pase_tpu.checkpoint).
+    Torch-default uniform(-1/sqrt(fan_in*k), +) init.
+    """
+    features: int
+    kwidth: int
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        bound = 1.0 / np.sqrt(cin * self.kwidth)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.kwidth, cin, self.features))
+        y = conv1d(x, kernel, self.stride, self.dilation)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.features,))
+            y = y + bias
+        return y
+
+
+class SincConv(nn.Module):
+    """SincNet band-pass conv layer (modules.py:788-934). Input must be
+    single-channel [B, T, 1]."""
+    features: int
+    kwidth: int
+    stride: int = 1
+    sample_rate: int = 16000
+    padding: str = "SAME"
+    pad_mode: str = "reflect"
+    min_low_hz: float = 50.0
+    min_band_hz: float = 50.0
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.shape[-1] == 1, "SincConv only supports one input channel"
+        k = self.kwidth + 1 if self.kwidth % 2 == 0 else self.kwidth
+        low0, band0 = mel_init_hz(self.features, self.sample_rate,
+                                  self.min_low_hz, self.min_band_hz)
+        low_hz = self.param("low_hz", lambda _: jnp.asarray(low0))
+        band_hz = self.param("band_hz", lambda _: jnp.asarray(band0))
+        n_, window_ = sinc_time_axes(k, self.sample_rate)
+        filters = build_sinc_filters(low_hz, band_hz, jnp.asarray(n_),
+                                     jnp.asarray(window_), self.sample_rate,
+                                     self.min_low_hz, self.min_band_hz)
+        if self.padding == "SAME":
+            x = pad_1d(x, sinc_same_pad(k, self.stride), self.pad_mode)
+        # [C, K] -> [K, 1, C]
+        kernel = filters.T[:, None, :]
+        return conv1d(x, kernel, self.stride)
+
+
+def apply_activation(act, module_out):
+    """GLU is a functional split (modules.py:119-126)."""
+    return module_out
+
+
+class FeBlock(nn.Module):
+    """pad -> conv/sinc -> norm -> activation (modules.py:1014-1077)."""
+    fmaps: int
+    kwidth: int
+    stride: int
+    dilation: int = 1
+    pad_mode: str = "reflect"
+    act: Optional[str] = None          # None -> PReLU(init=0); 'glu' supported
+    norm_type: Optional[str] = "bnorm"
+    sincnet: bool = False
+    sr: int = 16000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        wfmaps = 2 * self.fmaps if self.act == "glu" else self.fmaps
+        if self.sincnet:
+            h = SincConv(wfmaps, self.kwidth, self.stride,
+                         sample_rate=self.sr, padding="SAME",
+                         pad_mode=self.pad_mode, name="conv")(x)
+        else:
+            if self.kwidth > 1:
+                x = pad_1d(x, feblock_pad(self.kwidth, self.stride,
+                                          self.dilation), self.pad_mode)
+            h = Conv1D(wfmaps, self.kwidth, self.stride, self.dilation,
+                       name="conv")(x)
+        norm = build_norm(self.norm_type, wfmaps)
+        if norm is not None:
+            h = norm(h, train=train)
+        if self.act == "glu":
+            z, g = jnp.split(h, 2, axis=-1)
+            h = z * jax.nn.sigmoid(g)
+        elif self.act is None or self.act == "prelu":
+            h = PReLU(self.fmaps, init=0.0, name="act")(h)
+        else:
+            h = getattr(jax.nn, self.act.lower())(h)
+        return h
+
+
+class QRNN(nn.Module):
+    """Window-2 QRNN stack (torchqrnn semantics; modules.py:45-60).
+
+    NTC in/out. ``hidden`` is the per-layer hidden size (already doubled by
+    the reference's bidirectional quirk upstream in WaveFe).
+    """
+    hidden: int
+    layers: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for li in range(self.layers):
+            src = jnp.concatenate([h, shift_right(h)], axis=-1)
+            y = nn.Dense(3 * self.hidden, name=f"layers_{li}_linear")(src)
+            h, _ = qrnn_pool(y)
+        return h
+
+
+class GDeconv1DBlock(nn.Module):
+    """Transposed-conv upsampling block (modules.py:558-589)."""
+    fmaps: int
+    kwidth: int
+    stride: int = 4
+    norm_type: Optional[str] = None
+    act: Optional[str] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        wfmaps = 2 * self.fmaps if self.act == "glu" else self.fmaps
+        pad = max(0, (self.stride - self.kwidth) // -2)
+        cin = x.shape[-1]
+        bound = 1.0 / np.sqrt(wfmaps * self.kwidth)
+        # kernel layout [K, Cout, Cin] with transpose_kernel=True matches
+        # torch ConvTranspose1d weights [Cin, Cout, K].transpose(2, 1, 0)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.kwidth, wfmaps, cin))
+        # torch ConvTranspose1d(stride, padding=pad):
+        #   out = (L-1)*stride - 2*pad + kwidth
+        y = jax.lax.conv_transpose(
+            x, kernel, strides=(self.stride,),
+            padding=[(self.kwidth - 1 - pad, self.kwidth - 1 - pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            transpose_kernel=True)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (wfmaps,))
+            y = y + bias
+        if (self.stride % 2 != 0 and self.kwidth % 2 == 0) or \
+           (self.stride % 2 == 0 and self.kwidth % 2 != 0):
+            y = y[:, :-1]
+        norm = build_norm(self.norm_type, wfmaps)
+        if norm is not None:
+            y = norm(y, train=train)
+        if self.act == "glu":
+            z, g = jnp.split(y, 2, axis=-1)
+            y = z * jax.nn.sigmoid(g)
+        elif self.act is None or self.act == "prelu":
+            y = PReLU(self.fmaps, init=0.0, name="act")(y)
+        else:
+            y = getattr(jax.nn, self.act.lower())(y)
+        return y
+
+
+class MLPBlock(nn.Module):
+    """1x1(/context) conv + PReLU + dropout head block (modules.py:527-556)."""
+    fmaps: int
+    context: int = 1
+    tie_context_weights: bool = False
+    dout: float = 0.0
+    din: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.context % 2 != 0, self.context
+        if self.din > 0 and train:
+            x = nn.Dropout(self.din, deterministic=False)(x)
+        if self.tie_context_weights:
+            h = Conv1D(self.fmaps, 1, name="W")(x)
+            # avg-pool over context, stride 1, count_include_pad=False
+            c = self.context
+            p = c // 2
+            ones = jnp.ones_like(h[..., :1])
+            hp = jnp.pad(h, ((0, 0), (p, p), (0, 0)))
+            cnt = jnp.pad(ones, ((0, 0), (p, p), (0, 0)))
+            num = sum(hp[:, i:i + h.shape[1]] for i in range(c))
+            den = sum(cnt[:, i:i + h.shape[1]] for i in range(c))
+            h = num / den
+        else:
+            if self.context > 1:
+                x = jnp.pad(x, ((0, 0), (self.context // 2, self.context // 2),
+                                (0, 0)))
+            h = Conv1D(self.fmaps, self.context, name="W")(x)
+        h = PReLU(self.fmaps, init=0.25, name="act")(h)
+        if self.dout > 0 and train:
+            h = nn.Dropout(self.dout, deterministic=False)(h)
+        return h
