@@ -1,0 +1,111 @@
+"""Batched signal primitives: framing, FFT convolution, resampling.
+
+All functions operate on [B, T] waveforms (or [B, T, C] feature maps) with
+static shapes — jit/vmap friendly, no data-dependent control flow.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def frame_signal(x, frame_len: int, hop: int, n_frames: int = None,
+                 pad_end: bool = False):
+    """Frame [B, T] -> [B, n_frames, frame_len] (stride trick via gather).
+
+    Frames start at t*hop. If n_frames is None it is the max number of
+    complete frames; with pad_end the signal is zero-padded to fit.
+    """
+    b, t = x.shape
+    if n_frames is None:
+        if pad_end:
+            n_frames = int(np.ceil(max(t - frame_len, 0) / hop)) + 1
+        else:
+            n_frames = (t - frame_len) // hop + 1
+    need = (n_frames - 1) * hop + frame_len
+    if need > t:
+        x = jnp.pad(x, ((0, 0), (0, need - t)))
+    idx = (np.arange(n_frames)[:, None] * hop +
+           np.arange(frame_len)[None, :])                 # [F, L]
+    return x[:, idx]                                       # [B, F, L]
+
+
+def stft_mag(wav, n_fft: int, hop: int, win: int, window=None,
+             center: bool = True, pad_mode: str = "reflect",
+             n_frames: int = None):
+    """Magnitude STFT matching torch.stft / librosa.stft conventions.
+
+    torch.stft zero-pads the length-``win`` window symmetrically to
+    ``n_fft`` before multiplying the n_fft-long frame; because only the
+    magnitude is used, this equals an rFFT(n=n_fft) of the length-``win``
+    frame centered at t*hop (a pure phase shift). We exploit that to frame
+    only ``win`` samples (/root/reference/pase/transforms.py:467-469).
+
+    Args:
+      wav: [B, T].
+      window: None (rectangular, torch default) or [win] window array.
+    Returns: [B, F, n_fft//2+1] magnitudes with F = T//hop (+1 if exact).
+    """
+    b, t = wav.shape
+    if n_frames is None:
+        n_frames = t // hop
+    if center:
+        half = win // 2
+        wav = jnp.pad(wav, ((0, 0), (half, half)), mode=pad_mode)
+    frames = frame_signal(wav, win, hop, n_frames=n_frames)
+    if window is not None:
+        frames = frames * jnp.asarray(window)
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    return jnp.abs(spec)
+
+
+def fft_convolve_full(x, h):
+    """'full' 1-D convolution of [B, T] with [B, K] (or [K]) via rFFT."""
+    if h.ndim == 1:
+        h = h[None]
+    t, k = x.shape[-1], h.shape[-1]
+    n = t + k - 1
+    nfft = int(2 ** np.ceil(np.log2(n)))
+    X = jnp.fft.rfft(x, n=nfft)
+    H = jnp.fft.rfft(h, n=nfft)
+    y = jnp.fft.irfft(X * H, n=nfft)
+    return y[..., :n]
+
+
+def shift_signal(x, n):
+    """Shift along last axis filling with zeros (transforms.py:1053-1061).
+    Positive n shifts right; negative shifts left. Static n."""
+    if n == 0:
+        return x
+    if n > 0:
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(n, 0)])[..., :-n]
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, -n)])[..., -n:]
+
+
+def dynamic_shift(x, n):
+    """Per-sample dynamic right-shift of [B, T] by n [B] >= 0, zero fill."""
+    t = x.shape[-1]
+    idx = jnp.arange(t)[None, :] - n[:, None]
+    valid = idx >= 0
+    idx = jnp.clip(idx, 0, t - 1)
+    return jnp.where(valid, jnp.take_along_axis(x, idx, axis=-1), 0.0)
+
+
+def linear_resample(x, scale, out_len: int):
+    """Linear-interpolation resample of [B, T] to out_len with per-sample
+    scale [B] (output[i] = x[i * (T-1)/(out_len-1) * scale-ish]).
+
+    Used for speed-perturbation-style distortions; matches
+    F.interpolate(mode='linear', align_corners=True) when scale==1 ratio.
+    """
+    t = x.shape[-1]
+    pos = jnp.arange(out_len)[None, :] * scale[:, None]
+    pos = jnp.clip(pos, 0.0, t - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    w = pos - lo
+    xlo = jnp.take_along_axis(x, lo, axis=-1)
+    xhi = jnp.take_along_axis(x, hi, axis=-1)
+    return xlo * (1 - w) + xhi * w

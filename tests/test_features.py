@@ -1,0 +1,129 @@
+"""Feature extractor tests: exact parity where an oracle exists in-image
+(torch.stft for LPS framing, scipy savgol for deltas), invariant/sanity
+tests elsewhere (no librosa/psf/gammatone/pysptk in this image)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pase_tpu.ops import features as F
+from pase_tpu.ops.signal import stft_mag
+
+
+SR = 16000
+
+
+def _tone(freq, t=32000, sr=SR, b=2):
+    n = np.arange(t)
+    x = np.sin(2 * np.pi * freq * n / sr).astype(np.float32)
+    return np.stack([x] * b)
+
+
+def test_stft_mag_matches_torch():
+    import torch
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 16000).astype(np.float32)
+    n_fft, hop, win = 2048, 160, 400
+    mag = np.asarray(stft_mag(jnp.asarray(x), n_fft, hop, win,
+                              n_frames=16000 // hop))
+    yt = torch.stft(torch.tensor(x), n_fft, hop, win,
+                    return_complex=True, center=True, pad_mode="reflect")
+    yt = yt.abs().numpy()[:, :, :16000 // hop]     # [B, F_bins, T]
+    np.testing.assert_allclose(mag.transpose(0, 2, 1), yt, atol=2e-3,
+                               rtol=1e-3)
+
+
+def test_delta_matrix_matches_savgol():
+    from scipy.signal import savgol_filter
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 50, 7).astype(np.float32)
+    out = np.asarray(F.add_deltas(jnp.asarray(x), der_order=2))
+    d1 = savgol_filter(x, 9, polyorder=1, deriv=1, axis=1, mode="interp")
+    d2 = savgol_filter(x, 9, polyorder=2, deriv=2, axis=1, mode="interp")
+    ref = np.concatenate([x, d1, d2], axis=-1)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_lps_shape_and_tone_peak():
+    x = _tone(1000)
+    y = np.asarray(F.lps(jnp.asarray(x), n_fft=2048, hop=160, win=400))
+    assert y.shape == (2, 200, 3075)
+    base = y[0, 100, :1025]
+    peak_bin = base.argmax()
+    expect = round(1000 / (SR / 2048))
+    assert abs(int(peak_bin) - expect) <= 1
+
+
+def test_mfcc_shape():
+    x = _tone(440)
+    y = np.asarray(F.mfcc(jnp.asarray(x), hop=160, order=13, win=400))
+    assert y.shape == (2, 200, 39)
+    y2 = np.asarray(F.mfcc(jnp.asarray(x), hop=160, order=20, win=2048))
+    assert y2.shape == (2, 200, 60)
+
+
+def test_fbanks_shape_and_tone():
+    x = _tone(2000)
+    y = np.asarray(F.fbanks(jnp.asarray(x), n_filters=40, n_fft=512, win=400))
+    assert y.shape == (2, 200, 120)
+    # energy concentrated in one mel band for a pure tone
+    base = y[0, 50, :40]
+    assert base.argmax() > 10  # 2 kHz is in the upper half of the mel bands
+
+
+def test_gammatone_shape_and_tuning():
+    x = _tone(1000)
+    y = np.asarray(F.gammatone(jnp.asarray(x), f_min=500, n_channels=40,
+                               win=400))
+    assert y.shape == (2, 200, 120)
+    base = y[0, 100, :40]
+    cf = F.erb_centre_freqs(SR, 40, 500)
+    assert abs(cf[base.argmax()] - 1000) < 200
+
+
+def test_prosody_f0_tracking():
+    # 110 Hz sawtooth-ish (harmonic-rich) signal
+    n = np.arange(32000)
+    x = sum(np.sin(2 * np.pi * 110 * k * n / SR) / k
+            for k in range(1, 8)).astype(np.float32)
+    x = np.stack([x, x])
+    y = np.asarray(F.prosody(jnp.asarray(x), hop=160, win=320))
+    assert y.shape == (2, 200, 12)
+    lf0, uv = y[0, :, 0], y[0, :, 1]
+    assert uv.mean() > 0.8, f"voiced ratio {uv.mean()}"
+    f0 = np.exp(lf0[uv > 0])
+    assert abs(np.median(f0) - 110) < 12, np.median(f0)
+
+
+def test_prosody_unvoiced_silence():
+    x = np.zeros((1, 16000), dtype=np.float32)
+    y = np.asarray(F.prosody(jnp.asarray(x)))
+    lf0, uv = y[0, :, 0], y[0, :, 1]
+    assert uv.sum() == 0
+    np.testing.assert_allclose(lf0, np.log(60), atol=1e-4)
+
+
+def test_interpolate_unvoiced():
+    lf0 = jnp.asarray([[1.0, 0.0, 0.0, 4.0, 0.0]])
+    uv = jnp.asarray([[1.0, 0.0, 0.0, 1.0, 0.0]])
+    out = np.asarray(F._interpolate_unvoiced(lf0, uv))[0]
+    np.testing.assert_allclose(out, [1.0, 2.0, 3.0, 4.0, 4.0], atol=1e-5)
+
+
+def test_worker_dispatch_matches_reference_cfg():
+    import json
+    with open("/root/reference/cfg/workers/workers+.cfg") as f:
+        cfg = json.load(f)
+    dims = {"cchunk": None, "lps": 3075, "lps_long": 3075, "fbank": 120,
+            "fbank_long": 120, "gtn": 120, "gtn_long": 120, "mfcc": 39,
+            "mfcc_long": 60, "prosody": 12}
+    for w in cfg["regr"]:
+        name = w["name"]
+        d = F.feature_dim_for_worker(name, w.get("transform"))
+        assert d == dims[name], (name, d)
+        if name != "cchunk":
+            fn = F.feature_fn_for_worker(name, w.get("transform"))
+            y = fn(jnp.zeros((1, 4800)))
+            assert y.shape == (1, 30, dims[name]), (name, y.shape)
+    for w in cfg["cls"]:
+        assert F.feature_fn_for_worker(w["name"]) is None
