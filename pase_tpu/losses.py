@@ -1,0 +1,68 @@
+"""Losses: elementwise criteria + r-frame contextualized targets.
+
+ContextualizedLoss (/root/reference/pase/losses.py:6-37) frames the ground
+truth into r consecutive frames per step so a worker predicts a context
+window at once (r=7 in workers+.cfg). The reference builds it with a
+python loop; here it is a static gather (B, T, r, D) -> (B, T, D*r),
+flattened dim-major to match the reference channel ordering
+(pad_[:, :, t:t+r].view(B, -1) flattens (D, r) row-major).
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def contextualize_r(gtruth, r: Optional[int]):
+    """[B, T, D] -> [B, T, D*r] framed targets (zero-padded edges)."""
+    if r is None or r <= 1:
+        return gtruth
+    b, t, d = gtruth.shape
+    pad = jnp.pad(gtruth, ((0, 0), (r // 2, r // 2), (0, 0)))
+    idx = np.arange(t)[:, None] + np.arange(r)[None, :]       # [T, r]
+    win = pad[:, idx]                                          # [B, T, r, D]
+    win = jnp.transpose(win, (0, 1, 3, 2))                     # [B, T, D, r]
+    return win.reshape(b, t, d * r)
+
+
+def mse_loss(pred, target):
+    return jnp.mean(jnp.square(pred - target))
+
+
+def l1_loss(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def bce_with_logits(pred, target):
+    return jnp.mean(
+        jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred))))
+
+
+def cross_entropy(pred, target):
+    """pred [..., C] logits, target int labels."""
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
+
+
+_LOSSES = {
+    "MSELoss": mse_loss,
+    "L1Loss": l1_loss,
+    "BCEWithLogitsLoss": bce_with_logits,
+    "CrossEntropyLoss": cross_entropy,
+    "SmoothL1Loss": lambda p, t: jnp.mean(
+        jnp.where(jnp.abs(p - t) < 1, 0.5 * jnp.square(p - t),
+                  jnp.abs(p - t) - 0.5)),
+}
+
+
+def make_loss(name: str, r: Optional[int] = None) -> Callable:
+    """Loss factory replicating worker_parser's ContextualizedLoss wrapping
+    (/root/reference/pase/utils.py:53-90)."""
+    base = _LOSSES[name]
+
+    def loss_fn(pred, target):
+        return base(pred, contextualize_r(target, r))
+
+    return loss_fn

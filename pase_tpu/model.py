@@ -1,0 +1,255 @@
+"""PASE multi-task model assembly: frontend + worker bank, one graph.
+
+Reproduces /root/reference/pase/models/pase.py:241-356 functionally: the
+encoder runs once on the concatenated {chunk, ctxt, rand, (cchunk)} batch,
+every worker consumes the shared hidden, contrastive labels are
+synthesized in-graph, and the whole thing lives in a single jitted
+train/eval step (SURVEY.md §7 design stance).
+
+Worker configs are the reference JSON worker cfgs (cfg/workers/*.cfg),
+parsed by ``parse_workers_cfg`` (mirrors pase/utils.py:worker_parser but
+keeps losses as names + r instead of objects).
+"""
+
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pase_tpu.frontend import WaveFe, build_wavefe
+from pase_tpu.minions import (MLPMinion, DecoderMinion, GRUMinion, SPCMinion,
+                              GapMinion, make_mi_samples, make_mi_labels)
+from pase_tpu.losses import make_loss
+
+
+_MINION_FIELDS = {
+    "mlp": ("num_outputs", "hidden_size", "hidden_layers", "context",
+            "tie_context_weights", "dropout", "dropout_time", "dropin",
+            "r", "skip"),
+    "decoder": ("num_outputs", "fmaps", "strides", "kwidths", "hidden_size",
+                "hidden_layers", "dropout", "dropout_time", "norm_type",
+                "skip"),
+    "gru": ("num_outputs", "hidden_size", "hidden_layers", "dropout", "skip"),
+    "spc": ("num_outputs", "hidden_size", "hidden_layers", "ctxt_frames",
+            "seq_pad", "dropout", "skip"),
+    "gap": ("num_outputs", "hidden_size", "hidden_layers", "dropout", "skip"),
+}
+
+_MINION_CLS = {
+    "mlp": MLPMinion,
+    "decoder": DecoderMinion,
+    "gru": GRUMinion,
+    "spc": SPCMinion,
+    "gap": GapMinion,
+}
+
+
+def parse_workers_cfg(cfg) -> Dict[str, List[dict]]:
+    """Load a reference worker cfg JSON; normalize entries.
+
+    Returns {'regr': [...], 'cls': [...], 'regu': [...]} where each entry
+    keeps: name, type, loss (name), loss_weight, r, transform, and the
+    head hyperparameters.
+    """
+    if isinstance(cfg, str):
+        with open(cfg, "r") as f:
+            cfg = json.load(f)
+    out = {"regr": [], "cls": [], "regu": []}
+    for group, entries in cfg.items():
+        for e in entries:
+            e = dict(e)
+            e.setdefault("type", "mlp")
+            e.setdefault("loss_weight", 1.0)
+            out[group].append(e)
+    return out
+
+
+def _build_minion(cfg: dict, name: str):
+    mtype = cfg.get("type", "mlp")
+    # contrastive wrappers route by *name* in the reference
+    # (cls_minions.py:10-27)
+    if name == "spc":
+        mtype = "spc"
+    if name == "gap":
+        mtype = "gap"
+    cls = _MINION_CLS[mtype]
+    fields = _MINION_FIELDS[mtype]
+    kwargs = {k: cfg[k] for k in fields if k in cfg}
+    for seq_key in ("fmaps", "strides", "kwidths"):
+        if seq_key in kwargs:
+            kwargs[seq_key] = tuple(kwargs[seq_key])
+    return cls(name=f"{name}", **kwargs), mtype
+
+
+class PASE(nn.Module):
+    """Frontend + regression/classification/regularizer worker bank.
+
+    __call__ consumes a batch dict with device arrays:
+      'chunk' [B, T]            distorted input chunk
+      'chunk_ctxt' [B, T]       temporal-neighbor chunk (for LIM/GIM)
+      'chunk_rand' [B, T]       random-utterance chunk
+      'cchunk' [B, T]           clean chunk (denoising target / regularizer)
+      '<worker>' [B, F, D]      regression targets (computed on device)
+      'overlap' [B, F]          overlap mask label (optional)
+    and returns (hidden dict, chunk_hidden, preds, labels).
+
+    ``alpha`` may be a scalar or a [num_workers] vector of per-worker
+    frontend-gradient scales (hyper-volume/adaptive policies). The
+    reference passes the vector unindexed, which only works for scalars;
+    we index per worker (the documented intent).
+    """
+    frontend_cfg: Any
+    workers_cfg: Any
+
+    def setup(self):
+        self.frontend = build_wavefe(_thaw(self.frontend_cfg))
+        wcfg = _thaw(self.workers_cfg)
+        regr, cls_ = [], []
+        regr_meta, cls_meta, regu_meta = [], [], []
+        for e in wcfg.get("regr", []):
+            m, _ = _build_minion(e, e["name"])
+            regr.append(m)
+            regr_meta.append(e)
+        for e in wcfg.get("cls", []):
+            m, _ = _build_minion(e, e["name"])
+            cls_.append(m)
+            cls_meta.append(e)
+        for e in wcfg.get("regu", []):
+            regu_meta.append(e)
+        self._regr_meta = regr_meta
+        self._cls_meta = cls_meta
+        self._regu_meta = regu_meta
+        self.regression_workers = regr
+        self.classification_workers = cls_
+        self.fwd_cchunk = any("cchunk" in e["name"]
+                              for e in self._regu_meta) or \
+            any(e["name"] == "cchunk" for e in wcfg.get("regr", []))
+
+    @property
+    def worker_names(self) -> List[str]:
+        """Loss ordering: cls first then regr (worker_scheduler.py loss
+        vector order), then regularizers."""
+        return ([e["name"] for e in self._cls_meta] +
+                [e["name"] for e in self._regr_meta] +
+                [e["name"] for e in self._regu_meta])
+
+    def encode(self, wav, train: bool = False):
+        return self.frontend(wav, train=train)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], alpha=1.0,
+                 train: bool = False):
+        keys = [k for k in ("chunk", "chunk_ctxt", "chunk_rand", "cchunk")
+                if k in batch]
+        if "cchunk" in keys and not self.fwd_cchunk:
+            keys.remove("cchunk")
+        x = jnp.concatenate([batch[k] for k in keys], axis=0)
+        hcat = self.frontend(x, train=train)            # [n*B, F, emb]
+        hs = jnp.split(hcat, len(keys), axis=0)
+        h = dict(zip(keys, hs))
+        chunk = h["chunk"]
+
+        num_workers = len(self._cls_meta) + len(self._regr_meta)
+
+        def a_of(i):
+            if isinstance(alpha, (int, float)):
+                return alpha
+            al = jnp.asarray(alpha)
+            return al[i] if al.ndim > 0 else al
+
+        preds, labels = {}, {}
+        widx = 0
+
+        for e, worker in zip(self._cls_meta, self.classification_workers):
+            name = e["name"]
+            aw = a_of(widx)
+            if name in ("spc", "gap"):
+                if name == "gap":
+                    y, dists = worker(chunk, aw, train=train)
+                    preds[name] = y
+                    labels[name] = dists
+                else:
+                    y = worker(chunk, aw, train=train)
+                    preds[name] = y
+                    labels[name] = make_mi_labels(y)
+            elif name == "overlap":
+                y = worker(chunk, aw, train=train)
+                preds[name] = y
+                labels[name] = batch["overlap"][..., None]
+            else:
+                # LIM ('mi') / GIM ('cmi') — sample synthesis in-graph
+                augment = bool(e.get("augment", False))
+                pos, neg = make_mi_samples(chunk, h["chunk_ctxt"],
+                                           h["chunk_rand"], augment)
+                xin = jnp.concatenate([pos, neg], axis=0)
+                if name == "cmi":
+                    xin = jnp.mean(xin, axis=1, keepdims=True)
+                y = worker(xin, aw, train=train)
+                preds[name] = y
+                labels[name] = make_mi_labels(y)
+            widx += 1
+
+        for e, worker in zip(self._regr_meta, self.regression_workers):
+            name = e["name"]
+            y = worker(chunk, a_of(widx), train=train)
+            preds[name] = y
+            target = batch[name]
+            if name in ("chunk", "cchunk"):
+                # waveform reconstruction target: the (clean) wav itself
+                target = target[..., None] if target.ndim == 2 else target
+            labels[name] = jax.lax.stop_gradient(target)
+            widx += 1
+
+        for e in self._regu_meta:
+            # parameterless regularizer: tie PASE(chunk) to PASE(cchunk)
+            # (pase.py:300-333)
+            name = e["name"]
+            preds[name] = chunk
+            labels[name] = jax.lax.stop_gradient(h["cchunk"])
+
+        return h, chunk, preds, labels
+
+
+def worker_losses(model_meta, preds, labels):
+    """Per-worker losses as a dict; loss fns from each worker cfg."""
+    losses = {}
+    for group in ("cls", "regr", "regu"):
+        for e in model_meta[group]:
+            name = e["name"]
+            r = e.get("r") if group == "regr" else None
+            fn = make_loss(e["loss"], r=r)
+            losses[name] = e.get("loss_weight", 1.0) * fn(preds[name],
+                                                          labels[name])
+    return losses
+
+
+def build_pase(frontend_cfg, workers_cfg) -> Tuple[PASE, Dict[str, Any]]:
+    """Construct the model + normalized metadata from JSON cfgs/paths."""
+    if isinstance(frontend_cfg, str):
+        with open(frontend_cfg) as f:
+            frontend_cfg = json.load(f)
+    meta = parse_workers_cfg(workers_cfg)
+    # make cfgs hashable (flax module fields are static)
+    model = PASE(frontend_cfg=_freeze(frontend_cfg),
+                 workers_cfg=_freeze(meta))
+    return model, meta
+
+
+def _freeze(v):
+    if isinstance(v, dict):
+        return ("__dict__",) + tuple(
+            sorted(((k, _freeze(x)) for k, x in v.items()),
+                   key=lambda kv: kv[0]))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+def _thaw(v):
+    if isinstance(v, tuple):
+        if len(v) >= 1 and v[0] == "__dict__":
+            return {k: _thaw(x) for k, x in v[1:]}
+        return [_thaw(x) for x in v]
+    return v

@@ -267,6 +267,38 @@ class QRNN(nn.Module):
         return h
 
 
+class Deconv1D(nn.Module):
+    """Transposed conv matching torch ConvTranspose1d(stride, padding=pad):
+    out = (L-1)*stride - 2*pad + kwidth. Kernel layout [K, Cout, Cin] with
+    transpose_kernel=True == torch weights [Cin, Cout, K].transpose(2,1,0)."""
+    features: int
+    kwidth: int
+    stride: int
+    pad: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        bound = 1.0 / np.sqrt(self.features * self.kwidth)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.kwidth, self.features, cin))
+        y = jax.lax.conv_transpose(
+            x, kernel, strides=(self.stride,),
+            padding=[(self.kwidth - 1 - self.pad, self.kwidth - 1 - self.pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            transpose_kernel=True)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.features,))
+            y = y + bias
+        return y
+
+
 class GDeconv1DBlock(nn.Module):
     """Transposed-conv upsampling block (modules.py:558-589)."""
     fmaps: int
@@ -280,27 +312,8 @@ class GDeconv1DBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         wfmaps = 2 * self.fmaps if self.act == "glu" else self.fmaps
         pad = max(0, (self.stride - self.kwidth) // -2)
-        cin = x.shape[-1]
-        bound = 1.0 / np.sqrt(wfmaps * self.kwidth)
-        # kernel layout [K, Cout, Cin] with transpose_kernel=True matches
-        # torch ConvTranspose1d weights [Cin, Cout, K].transpose(2, 1, 0)
-        kernel = self.param(
-            "kernel",
-            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
-            (self.kwidth, wfmaps, cin))
-        # torch ConvTranspose1d(stride, padding=pad):
-        #   out = (L-1)*stride - 2*pad + kwidth
-        y = jax.lax.conv_transpose(
-            x, kernel, strides=(self.stride,),
-            padding=[(self.kwidth - 1 - pad, self.kwidth - 1 - pad)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            transpose_kernel=True)
-        if self.use_bias:
-            bias = self.param(
-                "bias",
-                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
-                (wfmaps,))
-            y = y + bias
+        y = Deconv1D(wfmaps, self.kwidth, self.stride, pad,
+                     use_bias=self.use_bias, name="deconv")(x)
         if (self.stride % 2 != 0 and self.kwidth % 2 == 0) or \
            (self.stride % 2 == 0 and self.kwidth % 2 != 0):
             y = y[:, :-1]

@@ -1,0 +1,142 @@
+"""Multi-task PASE model assembly tests: shapes, label synthesis, losses,
+and head parity vs the reference minions."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pase_tpu.model import build_pase, worker_losses
+from pase_tpu.ops import features as F
+
+PASEP_CFG = "/root/reference/cfg/frontend/PASE+.cfg"
+WORKERSP_CFG = "/root/reference/cfg/workers/workers+.cfg"
+
+B, T = 2, 8000   # small chunk for test speed
+HOP = 160
+
+
+def _make_batch(rng):
+    keys = jax.random.split(rng, 8)
+    batch = {
+        "chunk": jax.random.normal(keys[0], (B, T)) * 0.1,
+        "chunk_ctxt": jax.random.normal(keys[1], (B, T)) * 0.1,
+        "chunk_rand": jax.random.normal(keys[2], (B, T)) * 0.1,
+        "cchunk": jax.random.normal(keys[3], (B, T)) * 0.1,
+        "overlap": jnp.zeros((B, T // HOP)),
+    }
+    clean = batch["cchunk"]
+    with open(WORKERSP_CFG) as f:
+        wcfg = json.load(f)
+    targets = {}
+    for w in wcfg["regr"]:
+        name = w["name"]
+        fn = F.feature_fn_for_worker(name, w.get("transform"))
+        if fn is not None:
+            targets[name] = fn(clean)
+    batch.update(targets)
+    return batch
+
+
+@pytest.fixture(scope="module")
+def model_and_batch():
+    model, meta = build_pase(PASEP_CFG, WORKERSP_CFG)
+    rng = jax.random.PRNGKey(0)
+    batch = _make_batch(rng)
+    variables = model.init({"params": rng, "sample": rng, "dropout": rng},
+                           batch, train=False)
+    return model, meta, batch, variables
+
+
+def test_forward_shapes_and_labels(model_and_batch):
+    model, meta, batch, variables = model_and_batch
+    h, chunk, preds, labels = model.apply(
+        variables, batch, train=False,
+        rngs={"sample": jax.random.PRNGKey(1)})
+    frames = T // HOP
+    assert chunk.shape == (B, frames, 256)
+    # regression heads: r=7 multi-frame outputs
+    assert preds["lps"].shape == (B, frames, 3075 * 7)
+    assert preds["mfcc"].shape == (B, frames, 39 * 7)
+    assert preds["cchunk"].shape == (B, T, 1)
+    # contrastive: mi = 2B pos + 2B neg? (no augment for mi) -> 2B
+    assert preds["mi"].shape == (2 * B, frames, 1)
+    assert labels["mi"].shape == (2 * B, frames, 1)
+    np.testing.assert_allclose(np.asarray(labels["mi"][:B]), 1.0)
+    np.testing.assert_allclose(np.asarray(labels["mi"][B:]), 0.0)
+    # cmi has augment=true -> doubled batch, time-averaged
+    assert preds["cmi"].shape == (4 * B, 1, 1)
+
+
+def test_losses_finite(model_and_batch):
+    model, meta, batch, variables = model_and_batch
+    h, chunk, preds, labels = model.apply(
+        variables, batch, train=False,
+        rngs={"sample": jax.random.PRNGKey(1)})
+    losses = worker_losses(meta, preds, labels)
+    assert set(losses) == {"cchunk", "lps", "lps_long", "fbank",
+                           "fbank_long", "gtn", "gtn_long", "mfcc",
+                           "mfcc_long", "prosody", "mi", "cmi"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_contextualize_matches_reference(ref):
+    import torch
+    from pase.losses import ContextualizedLoss
+    from pase_tpu.losses import contextualize_r
+    rng = np.random.RandomState(0)
+    g = rng.randn(2, 5, 10).astype(np.float32)   # torch (B, D, T)
+    closs = ContextualizedLoss(torch.nn.MSELoss(), r=7)
+    ref_framed = closs.contextualize_r(torch.tensor(g)).numpy()  # (B,D*7,T)
+    ours = np.asarray(contextualize_r(jnp.asarray(g.transpose(0, 2, 1)), 7))
+    np.testing.assert_allclose(ours.transpose(0, 2, 1), ref_framed,
+                               atol=1e-6)
+
+
+def test_mlp_minion_parity(ref):
+    """MLPMinion forward parity with converted torch weights."""
+    import torch
+    from pase.models.Minions.minions import MLPMinion as RefMLP
+    from pase_tpu.minions import MLPMinion
+    from pase_tpu.checkpoint import torch_to_variables
+    tm = RefMLP(num_inputs=64, num_outputs=10, dropout=0.0,
+                hidden_size=32, hidden_layers=2, skip=False, r=3)
+    tm.eval()
+    x = np.random.RandomState(1).randn(2, 64, 50).astype(np.float32)
+    with torch.no_grad():
+        y_ref = tm(torch.tensor(x)).numpy()
+    m = MLPMinion(num_outputs=10, hidden_size=32, hidden_layers=2, r=3)
+    variables = m.init(jax.random.PRNGKey(0),
+                       jnp.asarray(x.transpose(0, 2, 1)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = torch_to_variables(sd, variables)
+    y = np.asarray(m.apply(variables, jnp.asarray(x.transpose(0, 2, 1))))
+    np.testing.assert_allclose(y.transpose(0, 2, 1), y_ref, atol=2e-5)
+
+
+def test_decoder_minion_parity(ref):
+    import torch
+    from pase.models.Minions.minions import DecoderMinion as RefDec
+    from pase_tpu.minions import DecoderMinion
+    from pase_tpu.checkpoint import torch_to_variables
+    cfg = dict(num_inputs=32, num_outputs=1, dropout=0.0, hidden_size=16,
+               hidden_layers=1, fmaps=[32, 16, 8], strides=[4, 4, 10],
+               kwidths=[30, 30, 30], skip=False)
+    tm = RefDec(**cfg)
+    tm.eval()
+    x = np.random.RandomState(2).randn(1, 32, 20).astype(np.float32)
+    with torch.no_grad():
+        y_ref = tm(torch.tensor(x)).numpy()
+    m = DecoderMinion(num_outputs=1, hidden_size=16, hidden_layers=1,
+                      fmaps=(32, 16, 8), strides=(4, 4, 10),
+                      kwidths=(30, 30, 30))
+    variables = m.init(jax.random.PRNGKey(0),
+                       jnp.asarray(x.transpose(0, 2, 1)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = torch_to_variables(sd, variables)
+    y = np.asarray(m.apply(variables, jnp.asarray(x.transpose(0, 2, 1))))
+    assert y.transpose(0, 2, 1).shape == y_ref.shape
+    np.testing.assert_allclose(y.transpose(0, 2, 1), y_ref, atol=2e-5)
