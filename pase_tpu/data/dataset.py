@@ -1,0 +1,171 @@
+"""Host-side dataset: file lists, tuple sampling, chunk cropping, batching.
+
+The heavy per-sample work of the reference pipeline (feature extraction,
+distortions) moved on-device (pase_tpu.data.pipeline); the host only reads
+wavs, samples the (current, neighbor, random) utterance tuple, and crops
+fixed-size chunks — replicating the sampling semantics of
+LibriSpeechSegTupleWavDataset (/root/reference/pase/dataset.py:428-513)
+and SingleChunk/MIChunkWav (transforms.py:295-436; norm_and_scale happens
+on device).
+
+'Epoch' follows the reference bpe convention: total_wav_dur // chunk_size
+// batch_size random chunks (train.py:283-297).
+"""
+
+import json
+import os
+import re
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from pase_tpu.data.io import read_wav, load_data_cfg
+
+
+def zerospeech(n_samples: int, rng) -> np.ndarray:
+    """Near-silent synthetic sample (pase/utils.py:208-210)."""
+    return (rng.randn(n_samples) * 1e-5).astype(np.float32)
+
+
+class LibriSpeechTupleDataset:
+    """Samples (raw, raw_ctxt, raw_rand) wav tuples per the reference's
+    filename-prefix neighboring scheme."""
+
+    def __init__(self, data_root: str, data_cfg_file: str, split: str,
+                 preload_wav: bool = False, cache_on_load: bool = True,
+                 zero_speech_p: float = 0.0, seed: int = 0):
+        self.data_root = data_root
+        self.split = split
+        self.zero_speech_p = zero_speech_p
+        cfg = load_data_cfg(data_cfg_file)
+        self.wavs = cfg[split]["data"]
+        self.total_wav_dur = int(cfg[split]["total_wav_dur"])
+        self.spk_info = cfg.get("speakers", [])
+        self.rng = np.random.RandomState(seed)
+        self.cache_on_load = cache_on_load
+        self.wav_cache: Dict[str, np.ndarray] = {}
+        self.rec = re.compile(r"(\d+).wav")
+        self.neighbor_prefixes: Dict[str, List[str]] = {}
+        for wav in self.wavs:
+            fname = wav["filename"]
+            prefix = self.rec.sub("", fname)
+            self.neighbor_prefixes.setdefault(prefix, []).append(fname)
+
+    def __len__(self):
+        return len(self.wavs)
+
+    def _load(self, fname: str) -> np.ndarray:
+        if fname in self.wav_cache:
+            return self.wav_cache[fname]
+        wav, _ = read_wav(os.path.join(self.data_root, fname))
+        if self.cache_on_load:
+            self.wav_cache[fname] = wav
+        return wav
+
+    def sample_tuple(self, index: int):
+        if self.rng.rand() < self.zero_speech_p:
+            wav = zerospeech(int(5 * 16e3), self.rng)
+            cwav = wav
+        else:
+            uttname = self.wavs[index]["filename"]
+            wav = self._load(uttname)
+            prefix = self.rec.sub("", uttname)
+            neighbors = [n for n in self.neighbor_prefixes[prefix]
+                         if n != uttname]
+            cwav = self._load(self.rng.choice(neighbors)) if neighbors else wav
+        rindex = self.rng.randint(len(self.wavs) - 1)
+        if rindex >= index:
+            rindex += 1
+        rwav = self._load(self.wavs[rindex]["filename"])
+        return wav, cwav, rwav
+
+
+def crop_chunk(wav: np.ndarray, chunk_size: int, rng) -> np.ndarray:
+    """Random chunk crop with reflect pad for short utterances
+    (SingleChunkWav.select_chunk, transforms.py:309-356)."""
+    if len(wav) <= chunk_size:
+        p = chunk_size - len(wav)
+        if len(wav) == 0:
+            return np.zeros(chunk_size, dtype=np.float32)
+        if p < len(wav):
+            return np.concatenate([wav, wav[-2:-2 - p:-1]]).astype(np.float32)
+        reps = int(np.ceil(chunk_size / len(wav)))
+        return np.tile(wav, reps)[:chunk_size].astype(np.float32)
+    idx = rng.randint(0, len(wav) - chunk_size)
+    return wav[idx:idx + chunk_size]
+
+
+class ChunkBatcher:
+    """Iterates [B] batches of raw chunk triplets as numpy arrays, with a
+    background prefetch thread (replaces DataLoader workers)."""
+
+    def __init__(self, dataset: LibriSpeechTupleDataset, batch_size: int,
+                 chunk_size: int, seed: int = 0, prefetch: int = 4):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.chunk_size = chunk_size
+        self.rng = np.random.RandomState(seed + 77)
+        self.prefetch = prefetch
+        self.bpe = max((dataset.total_wav_dur // chunk_size) // batch_size, 1)
+
+    def _make_batch(self):
+        b, t = self.batch_size, self.chunk_size
+        chunk = np.empty((b, t), dtype=np.float32)
+        ctxt = np.empty((b, t), dtype=np.float32)
+        rand = np.empty((b, t), dtype=np.float32)
+        for i in range(b):
+            idx = self.rng.randint(len(self.ds))
+            wav, cwav, rwav = self.ds.sample_tuple(idx)
+            chunk[i] = crop_chunk(wav, t, self.rng)
+            ctxt[i] = crop_chunk(cwav, t, self.rng)
+            rand[i] = crop_chunk(rwav, t, self.rng)
+        return {"chunk": chunk, "chunk_ctxt": ctxt, "chunk_rand": rand}
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                q.put(self._make_batch())
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+
+class SyntheticChunkBatcher:
+    """Deterministic synthetic raw-chunk source (tests / benchmarks)."""
+
+    def __init__(self, batch_size: int, chunk_size: int, seed: int = 0,
+                 bpe: int = 100):
+        self.batch_size = batch_size
+        self.chunk_size = chunk_size
+        self.rng = np.random.RandomState(seed)
+        self.bpe = bpe
+
+    def _speechlike(self, b, t):
+        n = np.arange(t)
+        f0 = self.rng.uniform(80, 260, size=(b, 1))
+        sig = sum(np.sin(2 * np.pi * f0 * k * n[None, :] / 16000) / k
+                  for k in range(1, 6))
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * self.rng.uniform(1, 4, (b, 1))
+                                 * n[None, :] / 16000)
+        noise = self.rng.randn(b, t) * 0.05
+        return ((sig * env * 0.2) + noise).astype(np.float32)
+
+    def _make_batch(self):
+        b, t = self.batch_size, self.chunk_size
+        return {"chunk": self._speechlike(b, t),
+                "chunk_ctxt": self._speechlike(b, t),
+                "chunk_rand": self._speechlike(b, t)}
+
+    def __iter__(self):
+        while True:
+            yield self._make_batch()

@@ -1,0 +1,156 @@
+"""On-device batch preparation: the transform stack of the reference
+(train.py:make_transforms + dataset.__getitem__ tail) as one jittable fn.
+
+Per step, given host-cropped raw chunks {chunk, chunk_ctxt, chunk_rand}:
+  1. optional norm_and_scale (random gain, transforms.py:148-151)
+  2. cchunk := clean chunk (denoising target, dataset.py:495)
+  3. worker feature targets computed from the CLEAN chunk
+  4. ZNorm of the targets (stats pkl semantics, transforms.py:183-205)
+  5. distortion stack applied to 'chunk' only + overlap label
+The ordering mirrors the reference exactly: targets come from clean
+audio, the encoder sees the distorted chunk.
+"""
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pase_tpu.ops.features import feature_fn_for_worker
+from pase_tpu.data.distortions import (DistortionConfig, DistortionAssets,
+                                       apply_distortions)
+
+
+def norm_and_scale(wav, key):
+    """wav / max|wav| * U[0,1) per sample (transforms.py:148-151)."""
+    mx = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
+    g = jax.random.uniform(key, (wav.shape[0], 1))
+    return wav / jnp.maximum(mx, 1e-12) * g
+
+
+def make_prepare_fn(workers_meta: Dict[str, Any],
+                    stats: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+                    dist_cfg: Optional[DistortionConfig] = None,
+                    assets: Optional[DistortionAssets] = None,
+                    hop: int = 160,
+                    random_scale: bool = False) -> Callable:
+    """Build prepare(batch, rng) -> model-ready batch dict.
+
+    workers_meta: parse_workers_cfg output. stats: {key: {'mean','std'}}
+    with 1-D per-dim arrays (reference stats pkl schema).
+    """
+    feat_fns = {}
+    for e in workers_meta.get("regr", []):
+        name = e["name"]
+        fn = feature_fn_for_worker(name, e.get("transform"), hop=hop)
+        if fn is not None:
+            feat_fns[name] = fn
+    has_overlap = any(e["name"] == "overlap"
+                      for e in workers_meta.get("cls", []))
+    stats_dev = None
+    if stats is not None:
+        stats_dev = {k: (jnp.asarray(v["mean"], jnp.float32),
+                         jnp.asarray(v["std"], jnp.float32))
+                     for k, v in stats.items()}
+
+    def prepare(batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        b, t = batch["chunk"].shape
+        k_scale, k_dist = jax.random.split(rng)
+        chunk = batch["chunk"]
+        ctxt = batch["chunk_ctxt"]
+        rand = batch["chunk_rand"]
+        if random_scale:
+            ks = jax.random.split(k_scale, 3)
+            chunk = norm_and_scale(chunk, ks[0])
+            ctxt = norm_and_scale(ctxt, ks[1])
+            rand = norm_and_scale(rand, ks[2])
+        cchunk = chunk  # clean copy before distortion
+        out = {"chunk_ctxt": ctxt, "chunk_rand": rand, "cchunk": cchunk}
+        # worker targets from the clean chunk
+        for name, fn in feat_fns.items():
+            feats = fn(cchunk)
+            if stats_dev is not None and name in stats_dev:
+                mean, std = stats_dev[name]
+                feats = (feats - mean) / std
+            out[name] = feats
+        # distort the encoder input
+        overlap = jnp.zeros((b, t // hop))
+        if dist_cfg is not None and assets is not None:
+            chunk, overlap = apply_distortions(chunk, k_dist, dist_cfg,
+                                               assets, dec_res=hop)
+        out["chunk"] = chunk
+        if has_overlap:
+            out["overlap"] = overlap
+        return out
+
+    return prepare
+
+
+# ---------------------------------------------------------------------------
+# trainset statistics (make_trainset_statistics.py:71-104 semantics)
+# ---------------------------------------------------------------------------
+
+
+def compute_stats(batcher, workers_meta, hop: int = 160,
+                  max_batches: int = 20, random_scale: bool = False,
+                  seed: int = 0):
+    """Stream up to max_batches batches, accumulate per-key mean-of-means
+    and mean-of-stds over (B, T) — the reference stats pkl schema:
+    {key: {'mean': [D], 'std': [D]}}."""
+    prepare = make_prepare_fn(workers_meta, stats=None, dist_cfg=None,
+                              assets=None, hop=hop,
+                              random_scale=random_scale)
+    prepare_j = jax.jit(prepare)
+    rng = jax.random.PRNGKey(seed)
+    sums = {}
+    for bi, batch in enumerate(batcher):
+        if bi >= max_batches:
+            break
+        rng, sub = jax.random.split(rng)
+        dev = prepare_j({k: jnp.asarray(v) for k, v in batch.items()}, sub)
+        for k, v in dev.items():
+            if v.ndim != 3 or k in ("chunk", "cchunk"):
+                continue
+            m = np.asarray(jnp.mean(v, axis=(0, 1)))
+            s = np.asarray(jnp.std(v, axis=(0, 1)))
+            if k not in sums:
+                sums[k] = ([], [])
+            sums[k][0].append(m)
+            sums[k][1].append(s)
+    stats = {}
+    for k, (ms, ss) in sums.items():
+        stats[k] = {"mean": np.mean(np.stack(ms), axis=0),
+                    "std": np.mean(np.stack(ss), axis=0)}
+    return stats
+
+
+def save_stats_pkl(stats, path):
+    """Serialize stats in a pickle layout readable alongside the reference
+    (per-key dict of 1-D arrays)."""
+    import pickle
+    with open(path, "wb") as f:
+        pickle.dump({k: {"mean": np.asarray(v["mean"]),
+                         "std": np.asarray(v["std"])}
+                     for k, v in stats.items()}, f)
+
+
+def load_stats_pkl(path):
+    """Load a stats pkl — ours (numpy) or the reference's (torch tensors)."""
+    import pickle
+    try:
+        with open(path, "rb") as f:
+            stats = pickle.load(f)
+    except Exception:
+        import torch
+        with open(path, "rb") as f:
+            stats = torch.load(f, map_location="cpu", weights_only=False)
+    out = {}
+    for k, v in stats.items():
+        mean, std = v["mean"], v["std"]
+        if hasattr(mean, "numpy"):
+            mean, std = mean.numpy(), std.numpy()
+        out[k] = {"mean": np.asarray(mean, np.float32),
+                  "std": np.asarray(std, np.float32)}
+    return out

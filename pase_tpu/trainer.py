@@ -1,0 +1,265 @@
+"""Trainer: one jitted multi-task train step + epoch loop.
+
+Functional redesign of the reference trainer
+(/root/reference/pase/models/WorkerScheduler/trainer.py:26-451): instead
+of 10 optimizer objects and an imperative backprop scheduler, a single
+jitted step performs on-device batch preparation (targets + distortions),
+the shared-encoder forward, per-worker losses, the weighting policy, and
+one optax multi-transform update. Per-worker update semantics are
+preserved exactly: each worker's params only receive gradients from its
+own loss; the frontend from the (policy-weighted) sum, scaled per worker
+by the previous step's alpha (alphaSG).
+
+Data parallelism: batch sharded over the mesh 'data' axis; XLA inserts
+the gradient all-reduce (ICI psum) automatically.
+"""
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import freeze, unfreeze
+
+from pase_tpu.model import build_pase, worker_losses
+from pase_tpu.optim import build_optimizer
+from pase_tpu.scheduling import PolicyState, init_policy_state, apply_policy
+from pase_tpu.data.pipeline import make_prepare_fn
+from pase_tpu.checkpoint import Saver, save_variables
+from pase_tpu.parallel.mesh import (get_mesh, shard_batch, replicate)
+from pase_tpu.log import MetricLogger
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    policy_state: PolicyState
+    alpha: jnp.ndarray          # per-worker frontend grad scale (alphaSG)
+    rng: jax.Array
+    step: jnp.ndarray
+
+
+class Trainer:
+
+    def __init__(self, frontend_cfg, workers_cfg, cfg: Dict[str, Any],
+                 stats=None, dist_cfg=None, dist_assets=None,
+                 mesh=None, name="Pase_base"):
+        self.cfg = dict(cfg)
+        self.name = name
+        self.model, self.meta = build_pase(frontend_cfg, workers_cfg)
+        self.ordered_names = ([e["name"] for e in self.meta["cls"]] +
+                              [e["name"] for e in self.meta["regr"]])
+        self.regu_names = [e["name"] for e in self.meta["regu"]]
+        self.num_workers = len(self.ordered_names)
+        self.mode = cfg.get("backprop_mode", "base")
+        self.hop = cfg.get("hop", 160)
+        self.prepare = make_prepare_fn(
+            self.meta, stats=stats, dist_cfg=dist_cfg, assets=dist_assets,
+            hop=self.hop, random_scale=cfg.get("random_scale", False))
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.bpe = cfg.get("bpe", 100)
+        self.epochs = cfg.get("epoch", 100)
+        self.save_path = cfg.get("save_path", "ckpt")
+        self.log_freq = cfg.get("log_freq", 100)
+        self.chunk_size = cfg.get("chunk_size", 16000)
+        self.batch_size = cfg.get("batch_size", 32)
+
+        self._tx = None
+        self._train_step = None
+        self._eval_step = None
+        self.logger = MetricLogger(self.save_path)
+        self.saver = Saver(self.save_path, max_ckpts=cfg.get("max_ckpts", 5),
+                           prefix="PASE-")
+
+    # -- initialization -----------------------------------------------------
+
+    def init_state(self, seed: int = 0) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        k_init, k_prep, rng = jax.random.split(rng, 3)
+        dummy = {
+            "chunk": jnp.zeros((2, self.chunk_size)),
+            "chunk_ctxt": jnp.zeros((2, self.chunk_size)),
+            "chunk_rand": jnp.zeros((2, self.chunk_size)),
+        }
+        prepared = self.prepare(dummy, k_prep)
+        variables = self.model.init(
+            {"params": k_init, "sample": k_init, "dropout": k_init},
+            prepared, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self._tx, self._scheds = build_optimizer(
+            params,
+            fe_opt=self.cfg.get("fe_opt", "Adam"),
+            min_opt=self.cfg.get("min_opt", "Adam"),
+            fe_lr=self.cfg.get("fe_lr", 1e-3),
+            min_lr=self.cfg.get("min_lr", 5e-4),
+            lr_mode=self.cfg.get("lr_mode", "poly"),
+            epochs=self.epochs, bpe=self.bpe,
+            lr_step=self.cfg.get("lrdec_step", 30))
+        opt_state = self._tx.init(params)
+        state = TrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            policy_state=init_policy_state(self.num_workers),
+            alpha=jnp.ones((self.num_workers,)), rng=rng,
+            step=jnp.zeros((), jnp.int32))
+        return jax.device_get(state) and replicate(state, self.mesh)
+
+    # -- steps ----------------------------------------------------------------
+
+    def _make_train_step(self):
+        model, meta = self.model, self.meta
+        ordered, regu = self.ordered_names, self.regu_names
+        prepare, tx, mode = self.prepare, self._tx, self.mode
+        pol_kwargs = dict(
+            dropout_rate=self.cfg.get("dropout_rate", 0.5) or 0.5,
+            delta=self.cfg.get("delta", 1.5) or 1.5,
+            temp=self.cfg.get("temp", 1.0) or 1.0,
+            alpha_ema=self.cfg.get("alpha", 0.5) or 0.5)
+
+        def train_step(state: TrainState, raw_batch):
+            rng, k_prep, k_sample, k_drop, k_pol = jax.random.split(
+                state.rng, 5)
+            batch = prepare(raw_batch, k_prep)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                (h, chunk, preds, labels), ups = model.apply(
+                    variables, batch, state.alpha, train=True,
+                    rngs={"sample": k_sample, "dropout": k_drop},
+                    mutable=["batch_stats"])
+                losses = worker_losses(meta, preds, labels)
+                loss_vec = jnp.stack([losses[n] for n in ordered])
+                weights, alpha_next, new_pstate = apply_policy(
+                    mode, loss_vec, state.policy_state, k_pol, **pol_kwargs)
+                total = jnp.sum(jax.lax.stop_gradient(weights) * loss_vec)
+                for n in regu:
+                    total = total + losses[n]
+                losses["total"] = total
+                return total, (losses, ups.get("batch_stats", {}),
+                               alpha_next, new_pstate)
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            losses, new_bs, alpha_next, new_pstate = aux
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=new_params, batch_stats=new_bs, opt_state=new_opt,
+                policy_state=new_pstate, alpha=alpha_next, rng=rng,
+                step=state.step + 1)
+            return new_state, losses
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _make_eval_step(self):
+        model, meta = self.model, self.meta
+        prepare = self.prepare
+
+        def eval_step(state: TrainState, raw_batch, key):
+            k_prep, k_sample = jax.random.split(key)
+            batch = prepare(raw_batch, k_prep)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            h, chunk, preds, labels = model.apply(
+                variables, batch, 1.0, train=False,
+                rngs={"sample": k_sample})
+            losses = worker_losses(meta, preds, labels)
+            losses["total"] = sum(losses.values())
+            return losses
+
+        return jax.jit(eval_step)
+
+    # -- loops ----------------------------------------------------------------
+
+    def train_(self, batcher, valid_batcher=None, state=None,
+               epochs: Optional[int] = None, resume: bool = True):
+        if state is None:
+            state = None
+            if resume:
+                state = self.try_resume()
+            if state is None:
+                state = self.init_state(self.cfg.get("seed", 0))
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        epochs = epochs if epochs is not None else self.epochs
+        bpe = self.bpe
+        step0 = int(jax.device_get(state.step))
+        epoch_beg = step0 // bpe
+        it = iter(batcher)
+        eval_key = jax.random.PRNGKey(1234)
+        for e in range(epoch_beg, epochs):
+            t0 = time.time()
+            last_losses = None
+            for bidx in range(1, bpe + 1):
+                raw = next(it)
+                raw = shard_batch({k: jnp.asarray(v) for k, v in raw.items()},
+                                  self.mesh)
+                state, losses = self._train_step(state, raw)
+                if bidx % self.log_freq == 0 or bidx >= bpe:
+                    last_losses = {k: float(v) for k, v in
+                                   jax.device_get(losses).items()}
+                    gstep = e * bpe + bidx
+                    self.logger.log("train", gstep, last_losses)
+            dt = time.time() - t0
+            sps = bpe / dt
+            self.logger.log("perf", (e + 1) * bpe, {
+                "steps_per_sec": sps,
+                "audio_sec_per_sec": sps * self.batch_size *
+                self.chunk_size / 16000})
+            if valid_batcher is not None:
+                self.evaluate(state, valid_batcher, epoch=e, key=eval_key)
+            self.save(state, e)
+        return state
+
+    def evaluate(self, state, batcher, epoch=0, n_batches: Optional[int] = None,
+                 key=None):
+        if self._eval_step is None:
+            self._eval_step = self._make_eval_step()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        n_batches = n_batches or self.cfg.get("va_bpe", 10)
+        running: Dict[str, list] = {}
+        it = iter(batcher)
+        for bidx in range(n_batches):
+            key, sub = jax.random.split(key)
+            raw = next(it)
+            raw = shard_batch({k: jnp.asarray(v) for k, v in raw.items()},
+                              self.mesh)
+            losses = jax.device_get(self._eval_step(state, raw, sub))
+            for k, v in losses.items():
+                running.setdefault(k, []).append(float(v))
+        means = {k: float(np.mean(v)) for k, v in running.items()}
+        self.logger.log("eval", epoch, means)
+        return means
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save(self, state, epoch: int):
+        host = jax.device_get(state)
+        variables = {"params": host.params, "batch_stats": host.batch_stats}
+        step = int(host.step)
+        self.saver.save(self.name, variables, step)
+        # encoder-only artifact, the reference's published format
+        # (FE_e{e}.ckpt — trainer.py:267-269)
+        fe_vars = {"params": host.params["frontend"],
+                   "batch_stats": host.batch_stats.get("frontend", {})}
+        save_variables(os.path.join(self.save_path, f"FE_e{epoch}.npz"),
+                       fe_vars, step)
+
+    def try_resume(self) -> Optional[TrainState]:
+        variables, meta = self.saver.load_weights()
+        if variables is None:
+            return None
+        state = self.init_state(self.cfg.get("seed", 0))
+        step = int(meta.get("step", 0))
+        return state._replace(params=variables["params"],
+                              batch_stats=variables.get("batch_stats", {}),
+                              step=jnp.asarray(step, jnp.int32))

@@ -1,0 +1,165 @@
+"""End-to-end jitted train step: 8-device CPU mesh, full PASE+ worker
+bank, on-device targets + distortions, policy modes, loss decrease."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pase_tpu.trainer import Trainer
+from pase_tpu.data.dataset import SyntheticChunkBatcher
+from pase_tpu.data.distortions import (DistortionConfig, DistortionAssets)
+from pase_tpu.parallel.mesh import get_mesh
+
+PASEP_CFG = "/root/reference/cfg/frontend/PASE+.cfg"
+WORKERSP_CFG = "/root/reference/cfg/workers/workers+.cfg"
+
+# tiny worker bank for fast-mode tests
+SMALL_WORKERS = {
+    "regr": [
+        {"num_outputs": 39, "dropout": 0, "hidden_size": 64,
+         "hidden_layers": 1, "name": "mfcc", "context": 1, "r": 1,
+         "loss": "MSELoss", "skip": False},
+        {"num_outputs": 12, "dropout": 0, "hidden_size": 64,
+         "hidden_layers": 1, "name": "prosody", "context": 1, "r": 1,
+         "loss": "MSELoss", "skip": False},
+    ],
+    "cls": [
+        {"num_outputs": 1, "dropout": 0, "hidden_size": 64,
+         "hidden_layers": 1, "name": "mi", "loss": "BCEWithLogitsLoss",
+         "skip": False, "keys": ["chunk", "chunk_ctxt", "chunk_rand"]},
+    ],
+}
+
+SMALL_FRONTEND = {
+    "kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+    "fmaps": [32, 32, 64, 64], "emb_dim": 64, "norm_out": True,
+}
+
+
+def _synth_assets(t):
+    rng = np.random.RandomState(0)
+    ir = np.zeros((2, 1000), dtype=np.float32)
+    ir[:, 0] = 1.0
+    ir[0, 300] = 0.4
+    ir[1, 700] = 0.2
+    return DistortionAssets(
+        ir_bank=jnp.asarray(ir), ir_pmax=jnp.asarray([0, 0]),
+        noise_bank=jnp.asarray(rng.randn(3, t * 2).astype(np.float32) * 0.1),
+        overlap_bank=jnp.asarray(rng.randn(2, t * 2).astype(np.float32) * 0.1),
+    )
+
+
+def _stats(chunk=4800, batch=8):
+    from pase_tpu.data.pipeline import compute_stats
+    from pase_tpu.model import parse_workers_cfg
+    meta = parse_workers_cfg(SMALL_WORKERS)
+    return compute_stats(SyntheticChunkBatcher(batch, chunk, seed=11),
+                         meta, max_batches=4)
+
+
+def _trainer(mode="base", dist=False, chunk=4800, batch=8, stats=None):
+    cfg = dict(backprop_mode=mode, hop=160, bpe=4, epoch=2,
+               batch_size=batch, chunk_size=chunk, log_freq=2,
+               fe_lr=5e-4, min_lr=5e-4, lr_mode="poly",
+               save_path="/tmp/pase_tpu_test_ckpt")
+    dcfg = None
+    assets = None
+    if dist:
+        dcfg = DistortionConfig(reverb_p=0.5, overlap_p=0.3, noises_p=0.5,
+                                clip_p=0.3, chop_p=0.3)
+        assets = _synth_assets(chunk)
+    tr = Trainer(SMALL_FRONTEND, SMALL_WORKERS, cfg, stats=stats,
+                 dist_cfg=dcfg, dist_assets=assets, mesh=get_mesh())
+    return tr
+
+
+def test_train_step_runs_and_learns():
+    tr = _trainer(stats=_stats())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    batcher = iter(SyntheticChunkBatcher(8, 4800, seed=3))
+    from pase_tpu.parallel.mesh import shard_batch
+    tots = []
+    for i in range(40):
+        raw = shard_batch({k: jnp.asarray(v) for k, v in
+                           next(batcher).items()}, tr.mesh)
+        state, losses = step(state, raw)
+        tots.append(float(losses["total"]))
+    assert np.all(np.isfinite(tots))
+    head, tail = np.mean(tots[:5]), np.mean(tots[-5:])
+    assert tail < head, (head, tail)
+    assert int(jax.device_get(state.step)) == 40
+
+
+def test_train_step_with_distortions():
+    tr = _trainer(dist=True)
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    batcher = iter(SyntheticChunkBatcher(8, 4800, seed=3))
+    from pase_tpu.parallel.mesh import shard_batch
+    for i in range(3):
+        raw = shard_batch({k: jnp.asarray(v) for k, v in
+                           next(batcher).items()}, tr.mesh)
+        state, losses = step(state, raw)
+    for k, v in jax.device_get(losses).items():
+        assert np.isfinite(float(v)), k
+
+
+@pytest.mark.parametrize("mode", ["base", "select_one", "select_half",
+                                  "dropout", "hyper_volume", "softmax",
+                                  "adaptive"])
+def test_policy_modes(mode):
+    tr = _trainer(mode=mode)
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    batcher = iter(SyntheticChunkBatcher(8, 4800, seed=1))
+    from pase_tpu.parallel.mesh import shard_batch
+    for i in range(2):
+        raw = shard_batch({k: jnp.asarray(v) for k, v in
+                           next(batcher).items()}, tr.mesh)
+        state, losses = step(state, raw)
+    assert np.isfinite(float(losses["total"]))
+    alpha = np.asarray(jax.device_get(state.alpha))
+    assert alpha.shape == (3,)
+    assert np.all(np.isfinite(alpha))
+    if mode in ("softmax", "adaptive"):
+        np.testing.assert_allclose(alpha.sum(), 1.0, atol=1e-5)
+
+
+def test_batch_sharding_over_mesh():
+    """Batch is actually distributed over the 8 CPU devices."""
+    tr = _trainer()
+    from pase_tpu.parallel.mesh import shard_batch
+    raw = {k: jnp.asarray(v) for k, v in
+           next(iter(SyntheticChunkBatcher(8, 4800))).items()}
+    sharded = shard_batch(raw, tr.mesh)
+    shards = sharded["chunk"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (1, 4800)
+
+
+def test_save_and_resume(tmp_path):
+    tr = _trainer()
+    tr.save_path = str(tmp_path)
+    tr.saver.save_path = str(tmp_path)
+    tr.saver.index_path = str(tmp_path / "PASE-checkpoints")
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    from pase_tpu.parallel.mesh import shard_batch
+    batcher = iter(SyntheticChunkBatcher(8, 4800, seed=5))
+    for _ in range(3):
+        raw = shard_batch({k: jnp.asarray(v) for k, v in
+                           next(batcher).items()}, tr.mesh)
+        state, _ = step(state, raw)
+    tr.save(state, epoch=0)
+    resumed = tr.try_resume()
+    assert resumed is not None
+    assert int(jax.device_get(resumed.step)) == 3
+    p0 = jax.device_get(state.params)
+    p1 = jax.device_get(resumed.params)
+    leaf0 = jax.tree.leaves(p0)[0]
+    leaf1 = jax.tree.leaves(p1)[0]
+    np.testing.assert_allclose(np.asarray(leaf0), np.asarray(leaf1))
