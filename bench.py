@@ -1,0 +1,179 @@
+"""Benchmark: PASE+ self-supervised pretraining throughput on TPU.
+
+Runs the FULL multi-task train step (PASE+ frontend, complete workers+
+bank, on-device distortions + feature targets + ZNorm, base policy, Adam)
+on synthetic 2 s chunks at batch 32 — the BASELINE.json headline config —
+and prints ONE JSON line:
+
+  {"metric": ..., "value": steps/sec, "unit": ..., "vs_baseline": ...}
+
+vs_baseline: ratio of our audio-throughput to the reference PyTorch
+implementation executing its equivalent training computation on this
+host (the reference has no GPU here; its published repo ships no
+throughput numbers at all — SURVEY.md §6). The torch measurement covers
+the reference model's forward+backward+optimizer step on precomputed
+targets, i.e. it EXCLUDES the reference's CPU feature/distortion pipeline
+(which our number INCLUDES on-device) — conservative in our favor's
+opposite direction.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _setup_jax():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return jax
+
+
+B, T, SR = 32, 32000, 16000
+N_WARM, N_MEAS = 3, 20
+
+
+def bench_ours():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.parallel.mesh import get_mesh, shard_batch
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.data.distortions import DistortionConfig, DistortionAssets
+    from pase_tpu.model import parse_workers_cfg
+    from pase_tpu.data.pipeline import compute_stats
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "cfg/frontend/PASE+.cfg")) as f:
+        fe_cfg = json.load(f)
+    with open(os.path.join(root, "cfg/workers/workers+.cfg")) as f:
+        wk_cfg = json.load(f)
+
+    rng = np.random.RandomState(0)
+    ir = np.zeros((4, 8000), np.float32)
+    ir[:, 0] = 1.0
+    ir[0, 1000] = 0.4
+    ir[1, 2000] = 0.2
+    assets = DistortionAssets(
+        ir_bank=jnp.asarray(ir), ir_pmax=jnp.asarray([0, 0, 0, 0]),
+        noise_bank=jnp.asarray(rng.randn(8, T * 2).astype(np.float32) * .1),
+        overlap_bank=jnp.asarray(rng.randn(4, T * 2).astype(np.float32) * .1))
+    dcfg = DistortionConfig(reverb_p=.5, overlap_p=.1, noises_p=.4,
+                            clip_p=.2, chop_p=.2, bandrop_p=0.0,
+                            downsample_p=0.0)
+
+    meta = parse_workers_cfg(wk_cfg)
+    stats = compute_stats(SyntheticChunkBatcher(8, T, seed=11), meta,
+                          max_batches=2)
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=400,
+               batch_size=B, chunk_size=T, log_freq=100,
+               fe_lr=1e-3, min_lr=5e-4, lr_mode="poly",
+               save_path="/tmp/pase_bench_ckpt")
+    tr = Trainer(fe_cfg, wk_cfg, cfg, stats=stats, dist_cfg=dcfg,
+                 dist_assets=assets, mesh=get_mesh())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    batcher = iter(SyntheticChunkBatcher(B, T, seed=0))
+    raws = [shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, tr.mesh)
+            for nb, _ in zip(batcher, range(4))]
+    for i in range(N_WARM):
+        state, losses = step(state, raws[i % len(raws)])
+    jax.block_until_ready(losses["total"])
+    t0 = time.time()
+    for i in range(N_MEAS):
+        state, losses = step(state, raws[i % len(raws)])
+    jax.block_until_ready(losses["total"])
+    dt = (time.time() - t0) / N_MEAS
+    return 1.0 / dt
+
+
+def bench_torch_reference():
+    """Reference PyTorch train-step rate on this host (cached)."""
+    cache = "/tmp/pase_ref_bench.json"
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["steps_per_sec"]
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from conftest import load_reference
+        load_reference()
+        import torch
+        from pase.models.pase import pase as RefPase
+        with open("/root/reference/cfg/workers/workers+.cfg") as f:
+            wcfg = json.load(f)
+        with open("/root/reference/cfg/frontend/PASE+.cfg") as f:
+            fecfg = json.load(f)
+        # attach losses like worker_parser does
+        import torch.nn as nn
+        from pase.losses import ContextualizedLoss
+        for group in wcfg.values():
+            for e in group:
+                e["loss"] = ContextualizedLoss(getattr(nn, e["loss"])(),
+                                               r=e.get("r"))
+        model = RefPase(frontend_cfg=fecfg, minions_cfg=wcfg)
+        model.train()
+        opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+        frames = T // 160
+        batch = {
+            "chunk": torch.randn(B, 1, T), "chunk_ctxt": torch.randn(B, 1, T),
+            "chunk_rand": torch.randn(B, 1, T), "cchunk": torch.randn(B, 1, T),
+            "lps": torch.randn(B, 3075, frames),
+            "lps_long": torch.randn(B, 3075, frames),
+            "fbank": torch.randn(B, 120, frames),
+            "fbank_long": torch.randn(B, 120, frames),
+            "gtn": torch.randn(B, 120, frames),
+            "gtn_long": torch.randn(B, 120, frames),
+            "mfcc": torch.randn(B, 39, frames),
+            "mfcc_long": torch.randn(B, 60, frames),
+            "prosody": torch.randn(B, 12, frames),
+        }
+
+        def one_step():
+            opt.zero_grad()
+            h, chunk, preds, labels = model.forward(batch, 1, "cpu")
+            tot = 0
+            for name, pred in preds.items():
+                cfgs = [e for g in wcfg.values() for e in g
+                        if e["name"] == name]
+                tot = tot + cfgs[0]["loss"](pred, labels[name])
+            tot.backward()
+            opt.step()
+
+        one_step()
+        t0 = time.time()
+        n = 3
+        for _ in range(n):
+            one_step()
+        sps = n / (time.time() - t0)
+    except Exception as e:
+        print(f"reference bench failed: {e!r}", file=sys.stderr)
+        sps = None
+    with open(cache, "w") as f:
+        json.dump({"steps_per_sec": sps}, f)
+    return sps
+
+
+def main():
+    ours = bench_ours()
+    ref = bench_torch_reference()
+    audio_rate = ours * B * T / SR
+    vs = (ours / ref) if ref else 0.0
+    print(json.dumps({
+        "metric": "PASE+ self-sup train steps/sec (batch 32, 2s chunks, "
+                  "full workers+ bank, on-device distortions+targets)",
+        "value": round(ours, 4),
+        "unit": "steps/sec (1 TPU chip); audio-sec/sec="
+                f"{round(audio_rate, 1)}",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

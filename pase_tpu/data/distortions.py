@@ -184,7 +184,9 @@ def chopper_one(wav, key, chop_factors, max_chops, sr=16000,
     n_frames = t // vad_win
     frames = wav[: n_frames * vad_win].reshape(n_frames, vad_win)
     fe = jnp.log10(jnp.mean(jnp.square(frames), axis=1) + 1e-12) * 10
-    thresh = jnp.max(fe) + vad_thresh_db
+    # relative threshold + absolute floor (silence has no speech regions,
+    # matching WebRTC VAD behavior on silent input)
+    thresh = jnp.maximum(jnp.max(fe) + vad_thresh_db, -55.0)
     speech = fe > thresh                                 # [F]
     k1, k2, k3, k4 = jax.random.split(key, 4)
     n_chops = jax.random.randint(k1, (), 1, max_chops + 1)

@@ -1,0 +1,176 @@
+"""Self-supervised PASE/PASE+ pretraining CLI.
+
+Mirrors the reference entrypoint (/root/reference/train.py:336-465):
+  python train.py --data_root data/LibriSpeech_50h/wav_sel \\
+      --data_cfg data/librispeech_data_50h.cfg \\
+      --net_cfg cfg/workers/workers+.cfg \\
+      --fe_cfg cfg/frontend/PASE+.cfg \\
+      --dtrans_cfg cfg/distortions/pase+.cfg \\
+      --stats data/librispeech_50h_stats.pkl \\
+      --batch_size 16 --chunk_size 32000 --epoch 400 \\
+      --fe_lr 0.001 --min_lr 0.0005 --lr_mode poly
+
+Differences from the reference (TPU-native design):
+  * feature targets + distortions run on-device inside the jitted step
+    (no DataLoader workers; --num_workers controls host prefetch only),
+  * training is batch-sharded over all available devices (ICI data
+    parallelism) automatically.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def str2bool(v):
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", action="append", default=[])
+    p.add_argument("--data_cfg", action="append", default=[])
+    p.add_argument("--dtrans_cfg", action="append", default=[])
+    p.add_argument("--net_cfg", type=str, default=None)
+    p.add_argument("--fe_cfg", type=str, default=None)
+    p.add_argument("--stats", type=str, default=None)
+    p.add_argument("--save_path", type=str, default="ckpt")
+    p.add_argument("--max_ckpts", type=int, default=5)
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--random_scale", type=str, default="False")
+    p.add_argument("--chunk_size", type=int, default=16000)
+    p.add_argument("--log_freq", type=int, default=100)
+    p.add_argument("--epoch", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--fe_opt", type=str, default="Adam")
+    p.add_argument("--min_opt", type=str, default="Adam")
+    p.add_argument("--lrdec_step", type=int, default=30)
+    p.add_argument("--fe_lr", type=float, default=0.0001)
+    p.add_argument("--min_lr", type=float, default=0.0004)
+    p.add_argument("--lr_mode", type=str, default="step")
+    p.add_argument("--backprop_mode", type=str, default="base")
+    p.add_argument("--dropout_rate", type=float, default=0.5)
+    p.add_argument("--delta", type=float, default=None)
+    p.add_argument("--temp", type=float, default=None)
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--hop", type=int, default=160)
+    p.add_argument("--no_continue", type=str, default="False")
+    p.add_argument("--zero_speech_p", type=float, default=0.0)
+    p.add_argument("--sup_exec", type=str, default=None)
+    p.add_argument("--sup_freq", type=int, default=1)
+    p.add_argument("--preload_wav", action="store_true", default=False)
+    p.add_argument("--synthetic", action="store_true", default=False,
+                   help="use synthetic data (smoke/bench runs)")
+    return p
+
+
+def build_distortions(opts, chunk_size):
+    from pase_tpu.data.distortions import (config_from_json,
+                                           DistortionAssets, load_ir_bank,
+                                           load_wav_bank)
+    import glob
+    if not opts.dtrans_cfg:
+        return None, None
+    with open(opts.dtrans_cfg[0]) as f:
+        dcfg_json = json.load(f)
+    cfg = config_from_json(dcfg_json)
+    ir_bank = ir_pmax = noise_bank = overlap_bank = None
+    bandrop_bank = downsample_bank = None
+    if cfg.reverb_p > 0:
+        root = dcfg_json.get("reverb_data_root", ".")
+        fmt = dcfg_json.get("reverb_fmt", "npy")
+        files = dcfg_json.get("reverb_irfiles") or [
+            os.path.basename(f) for f in glob.glob(
+                os.path.join(root, f"*.{fmt}"))]
+        if files:
+            ir_bank, ir_pmax = load_ir_bank(files, root, fmt)
+    if cfg.noises_p > 0 and dcfg_json.get("noises_dir"):
+        dirs = dcfg_json["noises_dir"]
+        dirs = dirs if isinstance(dirs, list) else [dirs]
+        files = [f for d in dirs for f in glob.glob(os.path.join(d, "*.wav"))]
+        if files:
+            noise_bank = load_wav_bank(files, 2 * chunk_size)
+    if cfg.overlap_p > 0 and dcfg_json.get("overlap_dir"):
+        if dcfg_json.get("overlap_list"):
+            with open(dcfg_json["overlap_list"]) as f:
+                files = [os.path.join(dcfg_json["overlap_dir"], l.strip())
+                         for l in f if l.strip()]
+        else:
+            files = glob.glob(os.path.join(dcfg_json["overlap_dir"], "*.wav"))
+        if files:
+            overlap_bank = load_wav_bank(files, 2 * chunk_size)
+    for key, pkey in (("bandrop", "bandrop_p"), ("downsample",
+                                                 "downsample_p")):
+        if getattr(cfg, pkey) > 0:
+            root = dcfg_json.get(f"{key}_data_root", ".")
+            fmt = dcfg_json.get(f"{key}_fmt", "npy")
+            files = dcfg_json.get(f"{key}_irfiles") or []
+            if files:
+                bank, _ = load_ir_bank(files, root, fmt)
+                if key == "bandrop":
+                    bandrop_bank = bank
+                else:
+                    downsample_bank = bank
+    assets = DistortionAssets(ir_bank=ir_bank, ir_pmax=ir_pmax,
+                              noise_bank=noise_bank,
+                              overlap_bank=overlap_bank,
+                              bandrop_bank=bandrop_bank,
+                              downsample_bank=downsample_bank)
+    return cfg, assets
+
+
+def train(opts):
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import (LibriSpeechTupleDataset, ChunkBatcher,
+                                       SyntheticChunkBatcher)
+    from pase_tpu.data.pipeline import load_stats_pkl
+
+    with open(opts.fe_cfg) as f:
+        fe_cfg = json.load(f)
+    with open(opts.net_cfg) as f:
+        wk_cfg = json.load(f)
+
+    if opts.synthetic:
+        batcher = SyntheticChunkBatcher(opts.batch_size, opts.chunk_size,
+                                        seed=opts.seed)
+        va_batcher = SyntheticChunkBatcher(opts.batch_size, opts.chunk_size,
+                                           seed=opts.seed + 1)
+        bpe = 100
+    else:
+        ds = LibriSpeechTupleDataset(opts.data_root[0], opts.data_cfg[0],
+                                     "train", zero_speech_p=opts.zero_speech_p,
+                                     seed=opts.seed)
+        va_ds = LibriSpeechTupleDataset(opts.data_root[0], opts.data_cfg[0],
+                                        "valid", seed=opts.seed + 1)
+        batcher = ChunkBatcher(ds, opts.batch_size, opts.chunk_size,
+                               seed=opts.seed)
+        va_batcher = ChunkBatcher(va_ds, opts.batch_size, opts.chunk_size,
+                                  seed=opts.seed + 1)
+        bpe = batcher.bpe
+        print(f"Dataset: {ds.total_wav_dur/16000/3600.0:.1f} h train audio, "
+              f"bpe={bpe}")
+
+    stats = load_stats_pkl(opts.stats) if opts.stats and \
+        os.path.exists(opts.stats) else None
+    dist_cfg, dist_assets = build_distortions(opts, opts.chunk_size)
+
+    cfg = vars(opts).copy()
+    cfg.update(bpe=bpe, va_bpe=max(bpe // 10, 1),
+               random_scale=str2bool(opts.random_scale),
+               ckpt_continue=not str2bool(opts.no_continue))
+    tr = Trainer(fe_cfg, wk_cfg, cfg, stats=stats, dist_cfg=dist_cfg,
+                 dist_assets=dist_assets)
+    tr.train_(batcher, va_batcher, resume=cfg["ckpt_continue"])
+
+
+if __name__ == "__main__":
+    opts = build_argparser().parse_args()
+    if opts.net_cfg is None:
+        raise ValueError("Please specify a net_cfg file")
+    os.makedirs(opts.save_path, exist_ok=True)
+    with open(os.path.join(opts.save_path, "train.opts"), "w") as f:
+        f.write(json.dumps(vars(opts), indent=2))
+    train(opts)
