@@ -1,0 +1,54 @@
+"""Frozen-encoder feature extraction for downstream probes.
+
+Mirrors the probes' extraction path: wf_builder + load_pretrained, full
+utterance forward, optional output mode ('avg_concat' for spk/emo probes,
+per-speaker mean subtraction for TIMIT —
+/root/reference/ASR/run_TIMIT_full_decoding.py:117-211,
+spk_id/run_minivox_fast.py:54-150)."""
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pase_tpu.frontend import Encoder, wf_builder
+from pase_tpu.data.io import read_wav
+
+
+class FeatureExtractor:
+
+    def __init__(self, fe_cfg, ckpt_path: Optional[str] = None,
+                 mode: Optional[str] = None, pad_to: int = 1600):
+        self.encoder = wf_builder(fe_cfg)
+        if ckpt_path:
+            self.encoder.load_pretrained(ckpt_path, load_last=True)
+        self.mode = mode
+        self.pad_to = pad_to  # static-shape buckets to bound recompiles
+
+    def extract(self, wav: np.ndarray) -> np.ndarray:
+        """[T] wav -> [frames, D] features (mode applied)."""
+        t = len(wav)
+        bucket = int(np.ceil(t / self.pad_to)) * self.pad_to
+        x = np.zeros((1, bucket), dtype=np.float32)
+        x[0, :t] = wav
+        y = self.encoder(x, mode=self.mode)      # (1, D, F)
+        frames = t // 160
+        return np.asarray(y)[0, :, :frames].T
+
+    def extract_file(self, path: str) -> np.ndarray:
+        wav, _ = read_wav(path)
+        return self.extract(wav)
+
+
+def speaker_mean_norm(utt_feats: Dict[str, np.ndarray],
+                      utt2spk: Dict[str, str]) -> Dict[str, np.ndarray]:
+    """Per-speaker mean subtraction (run_TIMIT_full_decoding.py:158-200)."""
+    sums: Dict[str, np.ndarray] = {}
+    counts: Dict[str, int] = {}
+    for utt, feats in utt_feats.items():
+        spk = utt2spk[utt]
+        sums[spk] = sums.get(spk, 0) + feats.sum(axis=0)
+        counts[spk] = counts.get(spk, 0) + feats.shape[0]
+    means = {s: sums[s] / counts[s] for s in sums}
+    return {u: f - means[utt2spk[u]] for u, f in utt_feats.items()}

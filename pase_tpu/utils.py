@@ -1,0 +1,53 @@
+"""Misc utilities: AuxiliarSuperviser (async downstream probe launcher),
+grad-norm introspection, zerospeech sampling."""
+
+import os
+import shlex
+import subprocess
+from typing import List
+
+import jax
+import numpy as np
+
+
+class AuxiliarSuperviser:
+    """After selected epochs, substitute $model/$cfg/$iteration/$save_path
+    into command templates and spawn them asynchronously
+    (/root/reference/pase/utils.py:164-185)."""
+
+    def __init__(self, cmd_file: str, save_path: str = "."):
+        self.cmd_file = cmd_file
+        self.save_path = save_path
+        with open(cmd_file) as f:
+            self.cmds = [l.rstrip() for l in f if l.strip()]
+        self.procs: List[subprocess.Popen] = []
+
+    def __call__(self, iteration: int, ckpt_path: str, cfg_path: str):
+        for cmd in self.cmds:
+            sub = cmd.replace("$model", ckpt_path)
+            sub = sub.replace("$cfg", cfg_path)
+            sub = sub.replace("$iteration", str(iteration))
+            sub = sub.replace("$save_path", self.save_path)
+            self.procs.append(subprocess.Popen(sub, shell=True))
+
+
+def get_grad_norms(grads, keys=()):
+    """Per-subtree gradient L2 norms for logging
+    (/root/reference/pase/utils.py:188-203)."""
+    from flax.traverse_util import flatten_dict
+    from flax.core import unfreeze
+    flat = flatten_dict(unfreeze(grads), sep="/")
+    out = {}
+    for k, v in flat.items():
+        if keys and not any(s in k for s in keys):
+            continue
+        out[k] = float(jax.numpy.linalg.norm(v.reshape(-1)))
+    return out
+
+
+def sample_probable(p, rng=np.random):
+    return rng.random_sample() < p
+
+
+def zerospeech(n_samples: int, rng=np.random):
+    return (rng.randn(n_samples) * 1e-5).astype(np.float32)

@@ -1,0 +1,69 @@
+"""Downstream probe CLI — the fast-probe entrypoints of the reference
+(spk_id/run_minivox_fast.py, emorec/run_IEMOCAP_fast.py,
+ASR/run_TIMIT_fast.py) unified:
+
+  python run_probe.py utt --fe_cfg cfg/frontend/PASE+.cfg \\
+      --fe_ckpt FE_e199.ckpt --train_list tr.lst --test_list te.lst \\
+      --data_root wavs/           # speaker-ID / language-ID / emotion
+
+  python run_probe.py frames --num_classes 48 ...   # TIMIT FER
+  python run_probe.py knn ...                        # KNN on embeddings
+
+List format: `wavpath label` (utt/knn) or `wavpath alifile` (frames).
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("task", choices=["utt", "frames", "knn"])
+    p.add_argument("--fe_cfg", required=True)
+    p.add_argument("--fe_ckpt", default=None)
+    p.add_argument("--train_list", required=True)
+    p.add_argument("--test_list", required=True)
+    p.add_argument("--data_root", default="")
+    p.add_argument("--mode", default="avg_concat")
+    p.add_argument("--hidden", type=int, nargs="+", default=[256])
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--num_classes", type=int, default=48)
+    p.add_argument("--left", type=int, default=8)
+    p.add_argument("--right", type=int, default=8)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_utts", type=int, default=None)
+    p.add_argument("--out", default=None)
+    opts = p.parse_args()
+
+    from pase_tpu.probes import tasks
+
+    if opts.task == "utt":
+        metrics = tasks.run_utt_classification(
+            opts.fe_cfg, opts.fe_ckpt, opts.train_list, opts.test_list,
+            data_root=opts.data_root, mode=opts.mode,
+            hidden=tuple(opts.hidden), epochs=opts.epochs, lr=opts.lr,
+            batch_size=opts.batch_size, seed=opts.seed,
+            max_utts=opts.max_utts)
+    elif opts.task == "frames":
+        metrics = tasks.run_frame_classification(
+            opts.fe_cfg, opts.fe_ckpt, opts.train_list, opts.test_list,
+            data_root=opts.data_root, num_classes=opts.num_classes,
+            left=opts.left, right=opts.right, hidden=tuple(opts.hidden),
+            epochs=opts.epochs, lr=opts.lr, max_utts=opts.max_utts)
+    else:
+        metrics = tasks.run_knn_probe(
+            opts.fe_cfg, opts.fe_ckpt, opts.train_list, opts.test_list,
+            data_root=opts.data_root, mode=opts.mode, k=opts.k,
+            max_utts=opts.max_utts)
+    print(json.dumps(metrics))
+    if opts.out:
+        with open(opts.out, "w") as f:
+            json.dump(metrics, f)
+
+
+if __name__ == "__main__":
+    main()
