@@ -93,12 +93,17 @@ def bench_ours():
     return 1.0 / dt
 
 
+B_REF = 2  # reference torch-CPU measured at small batch (audio-rate basis)
+
+
 def bench_torch_reference():
-    """Reference PyTorch train-step rate on this host (cached)."""
+    """Reference PyTorch audio-sec/sec on this host (cached). Measured at
+    batch B_REF (CPU torch at batch 32 takes minutes/step); compared on
+    audio-throughput, which is batch-linear for this model."""
     cache = "/tmp/pase_ref_bench.json"
     if os.path.exists(cache):
         with open(cache) as f:
-            return json.load(f)["steps_per_sec"]
+            return json.load(f)["audio_sec_per_sec"]
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tests"))
@@ -115,24 +120,28 @@ def bench_torch_reference():
         from pase.losses import ContextualizedLoss
         for group in wcfg.values():
             for e in group:
+                e.pop("transform", None)  # popped by make_transforms in ref
                 e["loss"] = ContextualizedLoss(getattr(nn, e["loss"])(),
                                                r=e.get("r"))
         model = RefPase(frontend_cfg=fecfg, minions_cfg=wcfg)
         model.train()
         opt = torch.optim.Adam(model.parameters(), lr=1e-3)
         frames = T // 160
+        Br = B_REF
         batch = {
-            "chunk": torch.randn(B, 1, T), "chunk_ctxt": torch.randn(B, 1, T),
-            "chunk_rand": torch.randn(B, 1, T), "cchunk": torch.randn(B, 1, T),
-            "lps": torch.randn(B, 3075, frames),
-            "lps_long": torch.randn(B, 3075, frames),
-            "fbank": torch.randn(B, 120, frames),
-            "fbank_long": torch.randn(B, 120, frames),
-            "gtn": torch.randn(B, 120, frames),
-            "gtn_long": torch.randn(B, 120, frames),
-            "mfcc": torch.randn(B, 39, frames),
-            "mfcc_long": torch.randn(B, 60, frames),
-            "prosody": torch.randn(B, 12, frames),
+            "chunk": torch.randn(Br, 1, T),
+            "chunk_ctxt": torch.randn(Br, 1, T),
+            "chunk_rand": torch.randn(Br, 1, T),
+            "cchunk": torch.randn(Br, 1, T),
+            "lps": torch.randn(Br, 3075, frames),
+            "lps_long": torch.randn(Br, 3075, frames),
+            "fbank": torch.randn(Br, 120, frames),
+            "fbank_long": torch.randn(Br, 120, frames),
+            "gtn": torch.randn(Br, 120, frames),
+            "gtn_long": torch.randn(Br, 120, frames),
+            "mfcc": torch.randn(Br, 39, frames),
+            "mfcc_long": torch.randn(Br, 60, frames),
+            "prosody": torch.randn(Br, 12, frames),
         }
 
         def one_step():
@@ -148,23 +157,24 @@ def bench_torch_reference():
 
         one_step()
         t0 = time.time()
-        n = 3
+        n = 2
         for _ in range(n):
             one_step()
         sps = n / (time.time() - t0)
+        audio = sps * B_REF * T / SR
     except Exception as e:
         print(f"reference bench failed: {e!r}", file=sys.stderr)
-        sps = None
+        audio = None
     with open(cache, "w") as f:
-        json.dump({"steps_per_sec": sps}, f)
-    return sps
+        json.dump({"audio_sec_per_sec": audio}, f)
+    return audio
 
 
 def main():
     ours = bench_ours()
     ref = bench_torch_reference()
     audio_rate = ours * B * T / SR
-    vs = (ours / ref) if ref else 0.0
+    vs = (audio_rate / ref) if ref else 0.0
     print(json.dumps({
         "metric": "PASE+ self-sup train steps/sec (batch 32, 2s chunks, "
                   "full workers+ bank, on-device distortions+targets)",

@@ -30,13 +30,13 @@ def _scan_kernel(a_ref, b_ref, out_ref, carry):
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    a = a_ref[:]            # [BT, TBLK, H]
-    b = b_ref[:]
-    tblk = a.shape[1]
+    tblk = a_ref.shape[1]
 
     def body(t, c):
-        c = a[:, t] * c + b[:, t]
-        out_ref[:, t] = c
+        a_t = a_ref[:, pl.ds(t, 1), :][:, 0]
+        b_t = b_ref[:, pl.ds(t, 1), :][:, 0]
+        c = a_t * c + b_t
+        out_ref[:, pl.ds(t, 1), :] = c[:, None, :]
         return c
 
     carry[:] = jax.lax.fori_loop(0, tblk, body, carry[:])

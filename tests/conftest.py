@@ -63,6 +63,22 @@ def load_reference():
         sys.modules["torchvision.models"] = tvm
         sys.modules["torchvision.transforms"] = tvt
 
+    if "soundfile" not in sys.modules:
+        sf = types.ModuleType("soundfile")
+
+        def _sf_read(path, *a, **k):
+            from pase_tpu.data.io import read_wav
+            w, sr = read_wav(path)
+            return w, sr
+
+        def _sf_write(path, data, sr, *a, **k):
+            from pase_tpu.data.io import write_wav
+            write_wav(path, data, sr)
+
+        sf.read = _sf_read
+        sf.write = _sf_write
+        sys.modules["soundfile"] = sf
+
     if "torchqrnn" not in sys.modules:
         tq = types.ModuleType("torchqrnn")
 
