@@ -140,6 +140,38 @@ class ChunkBatcher:
             stop.set()
 
 
+class FastChunkBatcher(ChunkBatcher):
+    """ChunkBatcher using the native C++ decoder/cropper
+    (native/wavio.cc) when available: python only samples the utterance
+    tuple (current/neighbor/random); decode + random crop happen in C++
+    worker threads. Falls back to the python path transparently."""
+
+    def _make_batch(self):
+        from pase_tpu.data.io import native_load_chunk_batch
+        b, t = self.batch_size, self.chunk_size
+        ds = self.ds
+        paths = []
+        for _ in range(b):
+            idx = self.rng.randint(len(ds))
+            utt = ds.wavs[idx]["filename"]
+            prefix = ds.rec.sub("", utt)
+            neighbors = [n for n in ds.neighbor_prefixes[prefix] if n != utt]
+            ctxt = self.rng.choice(neighbors) if neighbors else utt
+            ridx = self.rng.randint(len(ds.wavs) - 1)
+            if ridx >= idx:
+                ridx += 1
+            rand = ds.wavs[ridx]["filename"]
+            paths += [os.path.join(ds.data_root, p)
+                      for p in (utt, ctxt, rand)]
+        out = native_load_chunk_batch(paths, t,
+                                      seed=int(self.rng.randint(2 ** 31)))
+        if out is None:
+            return super()._make_batch()
+        out = out.reshape(b, 3, t)
+        return {"chunk": out[:, 0], "chunk_ctxt": out[:, 1],
+                "chunk_rand": out[:, 2]}
+
+
 class SyntheticChunkBatcher:
     """Deterministic synthetic raw-chunk source (tests / benchmarks)."""
 

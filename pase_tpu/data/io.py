@@ -44,6 +44,32 @@ def _native_lib():
         return None
 
 
+def native_load_chunk_batch(paths, chunk: int, seed: int = 0,
+                            n_threads: int = 8) -> Optional[np.ndarray]:
+    """Decode + random-crop a [B, chunk] batch in C++ worker threads.
+    Returns None when the native library is unavailable."""
+    import ctypes
+    lib = _native_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_batch_sig"):
+        lib.load_chunk_batch.restype = ctypes.c_long
+        lib.load_chunk_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+            ctypes.c_ulonglong, ctypes.c_int]
+        lib._batch_sig = True
+    b = len(paths)
+    arr = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    out = np.empty((b, chunk), dtype=np.float32)
+    r = lib.load_chunk_batch(
+        arr, b, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b, chunk, seed, n_threads)
+    if r != b:
+        return None
+    return out
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 mono samples in [-1, 1], sample_rate)."""
     lib = _native_lib()

