@@ -115,6 +115,13 @@ class WaveFe(nn.Module):
                                    name="norm_out")(y, train=train)
         if self.tanh_out:
             y = jnp.tanh(y)
+        if self.vq_K is not None and self.vq_K > 0:
+            from pase_tpu.nn import VQEMA
+            qloss, y, pp, _ = VQEMA(self.vq_K, self.output_dim,
+                                    self.vq_beta, self.vq_gamma,
+                                    name="quantizer")(y, train=train)
+            self.sow("intermediates", "vq_loss", qloss)
+            self.sow("intermediates", "vq_perplexity", pp)
         return y
 
 
@@ -157,8 +164,9 @@ class Encoder:
 
     def __init__(self, cfg, seed: int = 0):
         self.cfg = load_cfg(cfg)
-        self.module = build_wavefe(self.cfg)
-        self.emb_dim = self.module.output_dim
+        self.module = build_frontend_module(self.cfg)
+        self.emb_dim = getattr(self.module, "output_dim",
+                               getattr(self.module, "emb_dim", 256))
         self._variables = None
         self._seed = seed
         self._apply = None
@@ -229,13 +237,35 @@ def select_output(h, mode=None):
     return h
 
 
+def build_frontend_module(cfg):
+    """cfg dict -> (module, cfg) for any encoder family (the 'name'
+    dispatch of the reference wf_builder, frontend.py:18-40)."""
+    cfg = load_cfg(cfg)
+    name = cfg.get("name")
+    if name in (None, "WaveFe"):
+        return build_wavefe(cfg)
+    from pase_tpu import encoders
+    kw = {k: v for k, v in cfg.items() if k != "name"}
+    if name == "tdnn":
+        fields = set(encoders.TDNNFe.__dataclass_fields__)
+        return encoders.TDNNFe(**{k: v for k, v in kw.items()
+                                  if k in fields})
+    if name == "asppRes":
+        fields = set(encoders.ASPPResEncoder.__dataclass_fields__)
+        kw = {k: (tuple(v) if isinstance(v, list) else v)
+              for k, v in kw.items() if k in fields}
+        return encoders.ASPPResEncoder(**kw)
+    if name == "Resnet50":
+        fields = set(encoders.ResnetEncoder.__dataclass_fields__)
+        return encoders.ResnetEncoder(**{k: v for k, v in kw.items()
+                                         if k in fields})
+    raise TypeError(f"Unrecognized frontend type: {name}")
+
+
 def wf_builder(cfg) -> Encoder:
     """Frontend factory preserving the reference entrypoint
     (frontend.py:18-40). Dispatches on the optional 'name' key."""
     if cfg is None:
         raise ValueError("cfg cannot be None!")
     cfg = load_cfg(cfg)
-    name = cfg.get("name")
-    if name in (None, "WaveFe"):
-        return Encoder(cfg)
-    raise TypeError(f"Unrecognized frontend type: {name}")
+    return Encoder(cfg)

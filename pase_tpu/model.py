@@ -105,7 +105,8 @@ class PASE(nn.Module):
     workers_cfg: Any
 
     def setup(self):
-        self.frontend = build_wavefe(_thaw(self.frontend_cfg))
+        from pase_tpu.frontend import build_frontend_module
+        self.frontend = build_frontend_module(_thaw(self.frontend_cfg))
         wcfg = _thaw(self.workers_cfg)
         regr, cls_ = [], []
         regr_meta, cls_meta, regu_meta = [], [], []

@@ -330,6 +330,57 @@ class GDeconv1DBlock(nn.Module):
         return y
 
 
+class VQEMA(nn.Module):
+    """VQ-VAE quantizer with EMA codebook updates (modules.py:1080-1147;
+    van den Oord et al. 2017 A.1). Codebook/EMA state lives in the
+    'batch_stats' collection (updated in training, not by gradients);
+    straight-through estimator on the output. Returns
+    (loss, quantized, perplexity, encodings)."""
+    emb_K: int
+    emb_dim: int
+    beta: float = 0.25
+    gamma: float = 0.99
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        # inputs [B, T, D]
+        emb = self.variable("batch_stats", "emb",
+                            lambda: jax.random.normal(
+                                jax.random.PRNGKey(0),
+                                (self.emb_K, self.emb_dim)))
+        ema_size = self.variable("batch_stats", "ema_cluster_size",
+                                 lambda: jnp.zeros((self.emb_K,)))
+        ema_w = self.variable("batch_stats", "ema_w",
+                              lambda: jax.random.normal(
+                                  jax.random.PRNGKey(1),
+                                  (self.emb_K, self.emb_dim)))
+        b, t, d = inputs.shape
+        flat = inputs.reshape(-1, d)
+        e = emb.value
+        dist = (jnp.sum(flat ** 2, axis=1, keepdims=True)
+                + jnp.sum(e ** 2, axis=1) - 2.0 * flat @ e.T)
+        idx = jnp.argmin(dist, axis=1)
+        enc = jax.nn.one_hot(idx, self.emb_K)
+        if train and not self.is_initializing():
+            g = self.gamma
+            size = ema_size.value * g + (1 - g) * jnp.sum(enc, axis=0)
+            n = jnp.sum(size)
+            size = (size + self.eps) / (n + self.emb_K * self.eps) * n
+            dw = enc.T @ flat
+            new_w = ema_w.value * g + (1 - g) * dw
+            ema_size.value = size
+            ema_w.value = new_w
+            emb.value = new_w / size[:, None]
+        q = (enc @ emb.value).reshape(b, t, d)
+        e_latent = jnp.mean(jnp.square(jax.lax.stop_gradient(q) - inputs))
+        loss = self.beta * e_latent
+        q = inputs + jax.lax.stop_gradient(q - inputs)
+        avg_probs = jnp.mean(enc, axis=0)
+        pp = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
+        return loss, q, pp, enc
+
+
 class MLPBlock(nn.Module):
     """1x1(/context) conv + PReLU + dropout head block (modules.py:527-556)."""
     fmaps: int
