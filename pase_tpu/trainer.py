@@ -43,13 +43,17 @@ class TrainState(NamedTuple):
     alpha: jnp.ndarray          # per-worker frontend grad scale (alphaSG)
     rng: jax.Array
     step: jnp.ndarray
+    # adversarial (GAN) worker state; None when disabled
+    d_params: Any = None
+    d_batch_stats: Any = None
+    d_opt_state: Any = None
 
 
 class Trainer:
 
     def __init__(self, frontend_cfg, workers_cfg, cfg: Dict[str, Any],
                  stats=None, dist_cfg=None, dist_assets=None,
-                 mesh=None, name="Pase_base"):
+                 mesh=None, name="Pase_base", gan_cfg=None):
         self.cfg = dict(cfg)
         self.name = name
         self.model, self.meta = build_pase(frontend_cfg, workers_cfg)
@@ -69,6 +73,16 @@ class Trainer:
         self.log_freq = cfg.get("log_freq", 100)
         self.chunk_size = cfg.get("chunk_size", 16000)
         self.batch_size = cfg.get("batch_size", 32)
+
+        # optional GAN worker: D judges a waveform-reconstruction worker's
+        # output vs the clean wav (the alldistortions_GAN recipe —
+        # losses.py:137-213 wired through worker_parser)
+        self.gan_cfg = gan_cfg
+        self._d_module = None
+        self._d_tx = None
+        if gan_cfg is not None:
+            from pase_tpu.adversarial import WaveDiscriminator
+            self._d_module = WaveDiscriminator()
 
         self._tx = None
         self._train_step = None
@@ -103,11 +117,21 @@ class Trainer:
             epochs=self.epochs, bpe=self.bpe,
             lr_step=self.cfg.get("lrdec_step", 30))
         opt_state = self._tx.init(params)
+        d_params = d_bs = d_opt = None
+        if self._d_module is not None:
+            import optax as _optax
+            fake = jnp.zeros((2, self.chunk_size, 1))
+            dv = self._d_module.init(k_init, fake, train=False)
+            d_params = dv["params"]
+            d_bs = dv.get("batch_stats", {})
+            self._d_tx = _optax.adam(self.gan_cfg.get("lr", 5e-4))
+            d_opt = self._d_tx.init(d_params)
         state = TrainState(
             params=params, batch_stats=batch_stats, opt_state=opt_state,
             policy_state=init_policy_state(self.num_workers),
             alpha=jnp.ones((self.num_workers,)), rng=rng,
-            step=jnp.zeros((), jnp.int32))
+            step=jnp.zeros((), jnp.int32),
+            d_params=d_params, d_batch_stats=d_bs, d_opt_state=d_opt)
         return jax.device_get(state) and replicate(state, self.mesh)
 
     # -- steps ----------------------------------------------------------------
@@ -121,6 +145,13 @@ class Trainer:
             delta=self.cfg.get("delta", 1.5) or 1.5,
             temp=self.cfg.get("temp", 1.0) or 1.0,
             alpha_ema=self.cfg.get("alpha", 0.5) or 0.5)
+
+        gan_cfg, d_module, d_tx = self.gan_cfg, self._d_module, self._d_tx
+        if gan_cfg is not None:
+            from pase_tpu.adversarial import d_loss_fn, g_loss_fn
+            gan_worker = gan_cfg.get("worker", "cchunk")
+            gan_loss = gan_cfg.get("loss", "LSGAN")
+            gan_weight = gan_cfg.get("weight", 1.0)
 
         def train_step(state: TrainState, raw_batch):
             rng, k_prep, k_sample, k_drop, k_pol = jax.random.split(
@@ -142,19 +173,54 @@ class Trainer:
                 total = jnp.sum(jax.lax.stop_gradient(weights) * loss_vec)
                 for n in regu:
                     total = total + losses[n]
+                fake = None
+                if gan_cfg is not None:
+                    # generator objective: D(fake) should look real; D
+                    # params are a closed-over constant inside loss_fn so
+                    # only the generator receives these gradients
+                    fake = preds[gan_worker]
+                    d_vars = {"params": state.d_params,
+                              "batch_stats": state.d_batch_stats}
+                    d_on_fake = d_module.apply(d_vars, fake, train=False)
+                    gl = g_loss_fn(d_on_fake, gan_loss)
+                    losses[f"{gan_worker}_g"] = gl
+                    total = total + gan_weight * gl
                 losses["total"] = total
                 return total, (losses, ups.get("batch_stats", {}),
-                               alpha_next, new_pstate)
+                               alpha_next, new_pstate, fake)
 
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params)
-            losses, new_bs, alpha_next, new_pstate = aux
+            losses, new_bs, alpha_next, new_pstate, fake = aux
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+
+            d_params, d_bs, d_opt = (state.d_params, state.d_batch_stats,
+                                     state.d_opt_state)
+            if gan_cfg is not None:
+                real = batch["cchunk"][..., None]
+                fake_sg = jax.lax.stop_gradient(fake)
+
+                def d_objective(dp):
+                    d_vars = {"params": dp, "batch_stats": d_bs}
+                    dr, d_ups = d_module.apply(d_vars, real, train=True,
+                                               mutable=["batch_stats"])
+                    df, d_ups = d_module.apply(
+                        {"params": dp, "batch_stats": d_ups["batch_stats"]},
+                        fake_sg, train=True, mutable=["batch_stats"])
+                    return d_loss_fn(dr, df, gan_loss), d_ups["batch_stats"]
+
+                (dl, d_bs), d_grads = jax.value_and_grad(
+                    d_objective, has_aux=True)(d_params)
+                d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+                d_params = optax.apply_updates(d_params, d_updates)
+                losses["d_loss"] = dl
+
             new_state = TrainState(
                 params=new_params, batch_stats=new_bs, opt_state=new_opt,
                 policy_state=new_pstate, alpha=alpha_next, rng=rng,
-                step=state.step + 1)
+                step=state.step + 1, d_params=d_params, d_batch_stats=d_bs,
+                d_opt_state=d_opt)
             return new_state, losses
 
         return jax.jit(train_step, donate_argnums=(0,))
