@@ -141,7 +141,7 @@ class PASE(nn.Module):
         return self.frontend(wav, train=train)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], alpha=1.0,
-                 train: bool = False):
+                 train: bool = False, rep_probe=None):
         keys = [k for k in ("chunk", "chunk_ctxt", "chunk_rand", "cchunk")
                 if k in batch]
         if "cchunk" in keys and not self.fwd_cchunk:
@@ -151,6 +151,12 @@ class PASE(nn.Module):
         hs = jnp.split(hcat, len(keys), axis=0)
         h = dict(zip(keys, hs))
         chunk = h["chunk"]
+        if rep_probe is not None:
+            # zero probe injected after the encoder: jacrev w.r.t. it
+            # yields per-worker representation gradients (MGDA-UB) with
+            # one forward + K head-only backward passes
+            chunk = chunk + rep_probe
+            h["chunk"] = chunk
 
         num_workers = len(self._cls_meta) + len(self._regr_meta)
 

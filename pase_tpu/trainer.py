@@ -57,6 +57,10 @@ class Trainer:
         self.cfg = dict(cfg)
         self.name = name
         self.model, self.meta = build_pase(frontend_cfg, workers_cfg)
+        from pase_tpu.frontend import build_frontend_module, load_cfg
+        fe_mod = build_frontend_module(load_cfg(frontend_cfg))
+        self.model_emb_dim = getattr(fe_mod, "output_dim",
+                                     getattr(fe_mod, "emb_dim", 256))
         self.ordered_names = ([e["name"] for e in self.meta["cls"]] +
                               [e["name"] for e in self.meta["regr"]])
         self.regu_names = [e["name"] for e in self.meta["regu"]]
@@ -153,10 +157,38 @@ class Trainer:
             gan_loss = gan_cfg.get("loss", "LSGAN")
             gan_weight = gan_cfg.get("weight", 1.0)
 
+        def mgda_alpha(params, batch_stats, batch, k_sample, k_drop, alpha):
+            """Per-worker MGDA-UB weights: jacrev of the loss vector w.r.t.
+            a zero probe on the chunk representation (one forward + K
+            head-only backwards; see scheduling.py MGDA note)."""
+            from pase_tpu.scheduling import mgda_rep_weights
+
+            def loss_vec_of_probe(probe):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                (h, chunk, preds, labels), _ = model.apply(
+                    variables, batch, alpha, train=True,
+                    rngs={"sample": k_sample, "dropout": k_drop},
+                    rep_probe=probe, mutable=["batch_stats"])
+                losses = worker_losses(meta, preds, labels)
+                return jnp.stack([losses[n] for n in ordered])
+
+            b = batch["chunk"].shape[0]
+            frames = batch["chunk"].shape[1] // self.hop
+            emb = self.model_emb_dim
+            probe = jnp.zeros((b, frames, emb))
+            grads = jax.jacrev(loss_vec_of_probe)(probe)
+            return mgda_rep_weights(grads)
+
         def train_step(state: TrainState, raw_batch):
             rng, k_prep, k_sample, k_drop, k_pol = jax.random.split(
                 state.rng, 5)
             batch = prepare(raw_batch, k_prep)
+            mg_alpha = None
+            if mode == "MGD":
+                mg_alpha = mgda_alpha(state.params, state.batch_stats,
+                                      batch, k_sample, k_drop, state.alpha)
 
             def loss_fn(params):
                 variables = {"params": params}
@@ -169,7 +201,8 @@ class Trainer:
                 losses = worker_losses(meta, preds, labels)
                 loss_vec = jnp.stack([losses[n] for n in ordered])
                 weights, alpha_next, new_pstate = apply_policy(
-                    mode, loss_vec, state.policy_state, k_pol, **pol_kwargs)
+                    mode, loss_vec, state.policy_state, k_pol,
+                    mgda_alpha=mg_alpha, **pol_kwargs)
                 total = jnp.sum(jax.lax.stop_gradient(weights) * loss_vec)
                 for n in regu:
                     total = total + losses[n]

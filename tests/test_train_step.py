@@ -110,7 +110,7 @@ def test_train_step_with_distortions():
 
 @pytest.mark.parametrize("mode", ["base", "select_one", "select_half",
                                   "dropout", "hyper_volume", "softmax",
-                                  "adaptive"])
+                                  "adaptive", "MGD"])
 def test_policy_modes(mode):
     tr = _trainer(mode=mode)
     state = tr.init_state(0)
@@ -125,7 +125,7 @@ def test_policy_modes(mode):
     alpha = np.asarray(jax.device_get(state.alpha))
     assert alpha.shape == (3,)
     assert np.all(np.isfinite(alpha))
-    if mode in ("softmax", "adaptive"):
+    if mode in ("softmax", "adaptive", "MGD"):
         np.testing.assert_allclose(alpha.sum(), 1.0, atol=1e-5)
 
 
