@@ -103,6 +103,9 @@ class PASE(nn.Module):
     """
     frontend_cfg: Any
     workers_cfg: Any
+    att_cfg: Any = None          # pase_attention (pase.py:17-130)
+    chunking_K: Any = None       # pase_chunking fixed masks (pase.py:133-236)
+    chunking_seed: int = 0
 
     def setup(self):
         from pase_tpu.frontend import build_frontend_module
@@ -125,6 +128,24 @@ class PASE(nn.Module):
         self._regu_meta = regu_meta
         self.regression_workers = regr
         self.classification_workers = cls_
+        emb = getattr(self.frontend, "output_dim",
+                      getattr(self.frontend, "emb_dim", 256))
+        if self.att_cfg is not None:
+            from pase_tpu.attention import AttentionBlock
+            acfg = _thaw(self.att_cfg)
+            self.attention_blocks = {
+                e["name"]: AttentionBlock(
+                    emb_dim=emb, K=acfg.get("K", 40),
+                    avg_factor=acfg.get("avg_factor", 0.0),
+                    att_mode=acfg.get("att_mode", "avg_time"),
+                    hidden=tuple(acfg.get("hidden", (256,))),
+                    name=f"att_{e['name']}")
+                for e in cls_meta + regr_meta}
+        if self.chunking_K is not None:
+            from pase_tpu.attention import make_chunk_masks
+            self.chunk_masks = make_chunk_masks(
+                [e["name"] for e in cls_meta + regr_meta], emb,
+                int(self.chunking_K), seed=self.chunking_seed)
         self.fwd_cchunk = any("cchunk" in e["name"]
                               for e in self._regu_meta) or \
             any(e["name"] == "cchunk" for e in wcfg.get("regr", []))
@@ -169,27 +190,43 @@ class PASE(nn.Module):
         preds, labels = {}, {}
         widx = 0
 
+        def worker_view(name):
+            """Per-worker (chunk view, channel mask) under the attention /
+            chunking variants; identity for the base model."""
+            if self.att_cfg is not None:
+                return self.attention_blocks[name](chunk, train=train)
+            if self.chunking_K is not None:
+                m = self.chunk_masks[name]
+                return chunk * m[None, None, :], \
+                    jnp.broadcast_to(m[None, :], (chunk.shape[0],
+                                                  m.shape[0]))
+            return chunk, None
+
         for e, worker in zip(self._cls_meta, self.classification_workers):
             name = e["name"]
             aw = a_of(widx)
+            wchunk, wmask = worker_view(name)
             if name in ("spc", "gap"):
                 if name == "gap":
-                    y, dists = worker(chunk, aw, train=train)
+                    y, dists = worker(wchunk, aw, train=train)
                     preds[name] = y
                     labels[name] = dists
                 else:
-                    y = worker(chunk, aw, train=train)
+                    y = worker(wchunk, aw, train=train)
                     preds[name] = y
                     labels[name] = make_mi_labels(y)
             elif name == "overlap":
-                y = worker(chunk, aw, train=train)
+                y = worker(wchunk, aw, train=train)
                 preds[name] = y
                 labels[name] = batch["overlap"][..., None]
             else:
                 # LIM ('mi') / GIM ('cmi') — sample synthesis in-graph
                 augment = bool(e.get("augment", False))
-                pos, neg = make_mi_samples(chunk, h["chunk_ctxt"],
-                                           h["chunk_rand"], augment)
+                hc, hr = h["chunk_ctxt"], h["chunk_rand"]
+                if wmask is not None:
+                    hc = hc * wmask[:, None, :]
+                    hr = hr * wmask[:, None, :]
+                pos, neg = make_mi_samples(wchunk, hc, hr, augment)
                 xin = jnp.concatenate([pos, neg], axis=0)
                 if name == "cmi":
                     xin = jnp.mean(xin, axis=1, keepdims=True)
@@ -200,7 +237,8 @@ class PASE(nn.Module):
 
         for e, worker in zip(self._regr_meta, self.regression_workers):
             name = e["name"]
-            y = worker(chunk, a_of(widx), train=train)
+            wchunk, _ = worker_view(name)
+            y = worker(wchunk, a_of(widx), train=train)
             preds[name] = y
             target = batch[name]
             if name in ("chunk", "cchunk"):
@@ -232,15 +270,23 @@ def worker_losses(model_meta, preds, labels):
     return losses
 
 
-def build_pase(frontend_cfg, workers_cfg) -> Tuple[PASE, Dict[str, Any]]:
-    """Construct the model + normalized metadata from JSON cfgs/paths."""
+def build_pase(frontend_cfg, workers_cfg, att_cfg=None,
+               chunking_K=None) -> Tuple[PASE, Dict[str, Any]]:
+    """Construct the model + normalized metadata from JSON cfgs/paths.
+    att_cfg selects the pase_attention variant; chunking_K the
+    pase_chunking variant (trainer.py:51-71 dispatch in the reference)."""
     if isinstance(frontend_cfg, str):
         with open(frontend_cfg) as f:
             frontend_cfg = json.load(f)
+    if isinstance(att_cfg, str):
+        with open(att_cfg) as f:
+            att_cfg = json.load(f)
     meta = parse_workers_cfg(workers_cfg)
     # make cfgs hashable (flax module fields are static)
     model = PASE(frontend_cfg=_freeze(frontend_cfg),
-                 workers_cfg=_freeze(meta))
+                 workers_cfg=_freeze(meta),
+                 att_cfg=_freeze(att_cfg) if att_cfg else None,
+                 chunking_K=chunking_K)
     return model, meta
 
 

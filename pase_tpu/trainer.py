@@ -56,7 +56,9 @@ class Trainer:
                  mesh=None, name="Pase_base", gan_cfg=None):
         self.cfg = dict(cfg)
         self.name = name
-        self.model, self.meta = build_pase(frontend_cfg, workers_cfg)
+        self.model, self.meta = build_pase(
+            frontend_cfg, workers_cfg, att_cfg=cfg.get("att_cfg"),
+            chunking_K=cfg.get("chunking_K"))
         from pase_tpu.frontend import build_frontend_module, load_cfg
         fe_mod = build_frontend_module(load_cfg(frontend_cfg))
         self.model_emb_dim = getattr(fe_mod, "output_dim",
