@@ -1,0 +1,141 @@
+"""End-to-end CLI smoke tests: data prep, stats, training, util scripts.
+Run in-process (imports) to share the CPU test platform."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pase_tpu.data.io import write_wav
+
+SR = 16000
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_corpus")
+    wavdir = root / "wavs"
+    wavdir.mkdir()
+    rng = np.random.RandomState(0)
+    files = []
+    for spk in ("1001", "2002", "3003"):
+        for utt in range(2):
+            for seg in range(2):
+                fname = f"{spk}-13470{utt}-000{seg}.wav"
+                n = SR + rng.randint(0, SR // 2)
+                write_wav(str(wavdir / fname),
+                          rng.randn(n).astype(np.float32) * 0.1)
+                files.append(fname)
+    with open(root / "tr.scp", "w") as f:
+        f.write("\n".join(files))
+    return root, wavdir, files
+
+
+def test_data_prep_build_cfg(corpus):
+    root, wavdir, files = corpus
+    sys.path.insert(0, REPO)
+    import data_prep
+    import argparse
+    opts = argparse.Namespace(data_root=str(wavdir),
+                              train_scp=str(root / "tr.scp"),
+                              test_scp=None, libri_dict=None,
+                              cfg_file=str(root / "data.cfg"),
+                              val_ratio=0.34, seed=3)
+    data_prep.build_cfg(opts)
+    with open(root / "data.cfg") as f:
+        cfg = json.load(f)
+    assert cfg["train"]["total_wav_dur"] > 0
+    assert len(cfg["train"]["data"]) + len(cfg["valid"]["data"]) == 12
+    # speaker holdout: train/valid speakers disjoint
+    tr_spk = {d["speaker"] for d in cfg["train"]["data"]}
+    va_spk = {d["speaker"] for d in cfg["valid"]["data"]}
+    assert not (tr_spk & va_spk)
+
+
+def test_train_cli_synthetic(tmp_path):
+    """One tiny epoch of the training CLI end to end (synthetic data)."""
+    sys.path.insert(0, REPO)
+    import train as train_cli
+    wk = {"regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                    "hidden_layers": 1, "name": "mfcc", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": [{"num_outputs": 1, "dropout": 0, "hidden_size": 32,
+                   "hidden_layers": 1, "name": "mi",
+                   "loss": "BCEWithLogitsLoss", "skip": False}]}
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    wk_path, fe_path = str(tmp_path / "wk.cfg"), str(tmp_path / "fe.cfg")
+    with open(wk_path, "w") as f:
+        json.dump(wk, f)
+    with open(fe_path, "w") as f:
+        json.dump(fe, f)
+    argv = ["--net_cfg", wk_path, "--fe_cfg", fe_path, "--synthetic",
+            "--batch_size", "8", "--chunk_size", "4800", "--epoch", "1",
+            "--log_freq", "2", "--save_path", str(tmp_path / "ckpt"),
+            "--fe_lr", "0.0005", "--min_lr", "0.0005"]
+    opts = train_cli.build_argparser().parse_args(argv)
+    opts.epoch = 1
+    # shrink bpe via monkeypatching the synthetic batcher path
+    from pase_tpu.trainer import Trainer
+    orig_train = Trainer.train_
+
+    def short_train(self, *a, **k):
+        self.bpe = 3
+        return orig_train(self, *a, **k)
+    Trainer.train_ = short_train
+    try:
+        train_cli.train(opts)
+    finally:
+        Trainer.train_ = orig_train
+    assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")
+    assert os.path.exists(tmp_path / "ckpt" / "metrics.jsonl")
+
+
+def test_eval_ckpts_and_export(tmp_path):
+    sys.path.insert(0, REPO)
+    # reuse the checkpoint from a fresh mini-run
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    wk = {"regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                    "hidden_layers": 1, "name": "mfcc", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": []}
+    cfg = dict(backprop_mode="base", hop=160, bpe=2, epoch=1, batch_size=4,
+               chunk_size=4800, log_freq=1, save_path=str(tmp_path))
+    tr = Trainer(fe, wk, cfg)
+    state = tr.init_state(0)
+    tr.save(state, epoch=0)
+    # export to torch format and reload through the torch converter
+    import util_scripts
+    import argparse
+    opts = argparse.Namespace(in_ckpt=str(tmp_path / "FE_e0.npz"),
+                              out_ckpt=str(tmp_path / "FE_e0.ckpt"))
+    util_scripts.export_torch(opts)
+    from pase_tpu.frontend import wf_builder
+    enc = wf_builder(fe)
+    enc.init(example_len=4800)
+    enc.load_pretrained(str(tmp_path / "FE_e0.ckpt"), load_last=True)
+    y = enc(np.zeros((1, 1, 4800), np.float32))
+    assert y.shape == (1, 32, 30)
+
+
+def test_kmeans():
+    from util_scripts import kmeans
+    rng = np.random.RandomState(0)
+    centers = rng.randn(3, 8) * 5
+    x = np.concatenate([centers[i] + rng.randn(50, 8) * 0.2
+                        for i in range(3)]).astype(np.float32)
+    c, a = kmeans(jnp.asarray(x), k=3, iters=20)
+    # each true cluster maps to one kmeans cluster
+    for i in range(3):
+        seg = a[i * 50:(i + 1) * 50]
+        assert (seg == np.bincount(seg).argmax()).mean() > 0.95

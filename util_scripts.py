@@ -1,0 +1,227 @@
+"""Utility CLI — the reference's util_scripts/ capabilities:
+
+  forward-chunk  — chunked streaming encode of arbitrary-length wavs with
+                   a frozen encoder (util_scripts/forward_chunk.py)
+  eval-ckpts     — sweep saved FE_e*.npz checkpoints against a validation
+                   set, loss per checkpoint (util_scripts/eval_ckpts.py)
+  clusterize     — KMeans over frame embeddings
+                   (util_scripts/clusterize_frontend.py)
+  make-fbanks    — dump fbank features for a wav list
+                   (util_scripts/make_fbanks.py)
+  export-torch   — export our encoder checkpoint as a torch state dict
+                   (interop with reference downstream tooling)
+"""
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def forward_chunk(opts):
+    import jax.numpy as jnp
+    from pase_tpu.frontend import wf_builder
+    from pase_tpu.data.io import read_wav
+    enc = wf_builder(opts.fe_cfg)
+    if opts.fe_ckpt:
+        enc.load_pretrained(opts.fe_ckpt, load_last=True)
+    else:
+        enc.init()
+    wav, sr = read_wav(opts.in_wav)
+    chunk = opts.chunk_size
+    feats = []
+    for beg in range(0, len(wav), chunk):
+        piece = wav[beg:beg + chunk]
+        if len(piece) < chunk:
+            piece = np.pad(piece, (0, chunk - len(piece)))
+        y = np.asarray(enc(piece[None, None, :]))[0]     # [D, F]
+        feats.append(y)
+    out = np.concatenate(feats, axis=1)[:, :len(wav) // 160]
+    np.save(opts.out_file, out)
+    print(f"{opts.in_wav}: {out.shape} -> {opts.out_file}")
+
+
+def eval_ckpts(opts):
+    import jax
+    import jax.numpy as jnp
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import (LibriSpeechTupleDataset, ChunkBatcher,
+                                       SyntheticChunkBatcher)
+    from pase_tpu.checkpoint import load_variables
+    with open(opts.fe_cfg) as f:
+        fe_cfg = json.load(f)
+    with open(opts.net_cfg) as f:
+        wk_cfg = json.load(f)
+    cfg = dict(backprop_mode="base", hop=160, bpe=opts.n_batches, epoch=1,
+               batch_size=opts.batch_size, chunk_size=opts.chunk_size,
+               log_freq=100, save_path=opts.save_path or "/tmp/eval_ckpts")
+    tr = Trainer(fe_cfg, wk_cfg, cfg)
+    state = tr.init_state(0)
+    if opts.synthetic:
+        batcher = SyntheticChunkBatcher(opts.batch_size, opts.chunk_size)
+    else:
+        ds = LibriSpeechTupleDataset(opts.data_root, opts.data_cfg, "valid")
+        batcher = ChunkBatcher(ds, opts.batch_size, opts.chunk_size)
+    results = {}
+    for ck in sorted(glob.glob(os.path.join(opts.ckpt_dir, "FE_e*.npz"))):
+        variables, meta = load_variables(ck)
+        from flax.core import unfreeze
+        params = unfreeze(state.params)
+        params["frontend"] = variables["params"]
+        bs = unfreeze(state.batch_stats)
+        if "batch_stats" in variables and variables["batch_stats"]:
+            bs["frontend"] = variables["batch_stats"]
+        st = state._replace(params=params, batch_stats=bs)
+        m = tr.evaluate(st, batcher, n_batches=opts.n_batches)
+        results[os.path.basename(ck)] = m["total"]
+        print(f"{ck}: total loss {m['total']:.4f}")
+    with open(opts.out_file, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def kmeans(x, k, iters=50, seed=0):
+    """Plain device KMeans (clusterize_frontend.py replacement)."""
+    import jax
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(seed)
+    idx = jax.random.choice(key, x.shape[0], (k,), replace=False)
+    centers = x[idx]
+
+    @jax.jit
+    def step(centers):
+        d = (jnp.sum(x ** 2, 1)[:, None] + jnp.sum(centers ** 2, 1)[None]
+             - 2 * x @ centers.T)
+        assign = jnp.argmin(d, axis=1)
+        onehot = jax.nn.one_hot(assign, k)
+        counts = onehot.sum(0)
+        new = (onehot.T @ x) / jnp.maximum(counts[:, None], 1)
+        new = jnp.where(counts[:, None] > 0, new, centers)
+        return new, assign
+
+    for _ in range(iters):
+        centers, assign = step(centers)
+    return np.asarray(centers), np.asarray(assign)
+
+
+def clusterize(opts):
+    import jax.numpy as jnp
+    from pase_tpu.probes.extract import FeatureExtractor
+    ex = FeatureExtractor(opts.fe_cfg, opts.fe_ckpt)
+    feats = []
+    with open(opts.wav_list) as f:
+        paths = [l.split()[0] for l in f if l.strip()]
+    for p in paths[:opts.max_utts or None]:
+        feats.append(ex.extract_file(os.path.join(opts.data_root, p)))
+    x = jnp.asarray(np.concatenate(feats, axis=0))
+    centers, assign = kmeans(x, opts.k)
+    np.savez(opts.out_file, centers=centers, assignments=assign)
+    print(f"KMeans k={opts.k}: inertia counts "
+          f"{np.bincount(assign, minlength=opts.k)}")
+
+
+def make_fbanks(opts):
+    import jax.numpy as jnp
+    from pase_tpu.ops.features import fbanks
+    from pase_tpu.data.io import read_wav
+    os.makedirs(opts.out_dir, exist_ok=True)
+    with open(opts.wav_list) as f:
+        paths = [l.split()[0] for l in f if l.strip()]
+    for p in paths:
+        wav, _ = read_wav(os.path.join(opts.data_root, p))
+        y = np.asarray(fbanks(jnp.asarray(wav[None]),
+                              n_filters=opts.n_filters))[0]
+        np.save(os.path.join(opts.out_dir,
+                             os.path.splitext(os.path.basename(p))[0]
+                             + ".npy"), y)
+    print(f"Wrote {len(paths)} fbank files to {opts.out_dir}")
+
+
+def export_torch(opts):
+    """Export a native FE_e*.npz encoder ckpt to a torch state dict with
+    reference key names, so reference-side tooling can consume it."""
+    import torch
+    from pase_tpu.checkpoint import load_variables
+    from flax.traverse_util import flatten_dict
+    from flax.core import unfreeze
+    variables, meta = load_variables(opts.in_ckpt)
+    flat = flatten_dict(unfreeze(variables), sep=".")
+    out = {}
+    for k, v in flat.items():
+        arr = np.asarray(v)
+        tk = (k.replace("params.", "").replace("batch_stats.", "")
+              .replace("blocks_", "blocks.").replace("denseskips_",
+                                                     "denseskips."))
+        tk = tk.replace("layers_0_linear", "layers.0.linear")
+        if tk.endswith(".kernel"):
+            base = tk[:-7]
+            if arr.ndim == 3:
+                arr = arr.transpose(2, 1, 0)
+            elif arr.ndim == 2:
+                arr = arr.T
+            tk = base + ".weight"
+        elif tk.endswith(".low_hz"):
+            tk = tk[:-7] + ".low_hz_"
+        elif tk.endswith(".band_hz"):
+            tk = tk[:-8] + ".band_hz_"
+        elif tk.endswith(".mean"):
+            tk = tk[:-5] + ".running_mean"
+        elif tk.endswith(".var"):
+            tk = tk[:-4] + ".running_var"
+        out[tk] = torch.tensor(arr)
+    torch.save(out, opts.out_ckpt)
+    print(f"Exported {len(out)} tensors -> {opts.out_ckpt}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    fc = sub.add_parser("forward-chunk")
+    fc.add_argument("--fe_cfg", required=True)
+    fc.add_argument("--fe_ckpt", default=None)
+    fc.add_argument("--in_wav", required=True)
+    fc.add_argument("--out_file", required=True)
+    fc.add_argument("--chunk_size", type=int, default=160000)
+
+    ec = sub.add_parser("eval-ckpts")
+    ec.add_argument("--fe_cfg", required=True)
+    ec.add_argument("--net_cfg", required=True)
+    ec.add_argument("--ckpt_dir", required=True)
+    ec.add_argument("--data_root", default=None)
+    ec.add_argument("--data_cfg", default=None)
+    ec.add_argument("--out_file", default="ckpt_losses.json")
+    ec.add_argument("--batch_size", type=int, default=16)
+    ec.add_argument("--chunk_size", type=int, default=16000)
+    ec.add_argument("--n_batches", type=int, default=10)
+    ec.add_argument("--save_path", default=None)
+    ec.add_argument("--synthetic", action="store_true")
+
+    cl = sub.add_parser("clusterize")
+    cl.add_argument("--fe_cfg", required=True)
+    cl.add_argument("--fe_ckpt", default=None)
+    cl.add_argument("--wav_list", required=True)
+    cl.add_argument("--data_root", default="")
+    cl.add_argument("--k", type=int, default=128)
+    cl.add_argument("--max_utts", type=int, default=None)
+    cl.add_argument("--out_file", default="clusters.npz")
+
+    mf = sub.add_parser("make-fbanks")
+    mf.add_argument("--wav_list", required=True)
+    mf.add_argument("--data_root", default="")
+    mf.add_argument("--out_dir", required=True)
+    mf.add_argument("--n_filters", type=int, default=40)
+
+    et = sub.add_parser("export-torch")
+    et.add_argument("--in_ckpt", required=True)
+    et.add_argument("--out_ckpt", required=True)
+
+    opts = p.parse_args()
+    {"forward-chunk": forward_chunk, "eval-ckpts": eval_ckpts,
+     "clusterize": clusterize, "make-fbanks": make_fbanks,
+     "export-torch": export_torch}[opts.cmd](opts)
+
+
+if __name__ == "__main__":
+    main()
