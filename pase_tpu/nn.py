@@ -29,14 +29,28 @@ from pase_tpu.ops.qrnn import qrnn_pool, shift_right
 
 
 def conv1d(x, kernel, stride=1, dilation=1):
-    """1-D convolution, NTC x [K, Cin, Cout] kernel, VALID padding."""
-    return jax.lax.conv_general_dilated(
-        x, kernel,
+    """1-D convolution, NTC x [K, Cin, Cout] kernel, VALID padding.
+
+    Under a bf16 compute policy (pase_tpu.precision) the MXU passes run
+    in bfloat16 with float32 accumulation; output stays float32.
+    """
+    from pase_tpu.precision import get_compute_dtype
+    cd = get_compute_dtype()
+    out_dtype = x.dtype
+    if cd is not None and x.dtype == jnp.float32:
+        x = x.astype(cd)
+        kernel = kernel.astype(cd)
+    # NOTE: no preferred_element_type here — TPU bf16 convs accumulate in
+    # f32 inside the MXU already, and a widened output dtype breaks the
+    # autodiff transpose rule's dtype matching.
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
         window_strides=(stride,),
         padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
+    return y.astype(jnp.float32) if out_dtype == jnp.float32 else y
 
 
 class PReLU(nn.Module):
@@ -174,6 +188,61 @@ class Conv1D(nn.Module):
         return y
 
 
+def _s2d_indices(k, r, k2):
+    """Static gather map for the space-to-depth conv kernel:
+    W2[q, c, p, o] = w[o, q*r + c - p]."""
+    q = np.arange(k2)[:, None, None]
+    c = np.arange(r)[None, :, None]
+    p = np.arange(r)[None, None, :]
+    idx = q * r + c - p                          # [K2, r, r]
+    mask = (idx >= 0) & (idx < k)
+    return np.clip(idx, 0, k - 1), mask.astype(np.float32)
+
+
+def _s2d_bank_conv(x, filters, r=8):
+    """Stride-1 single-channel filterbank conv as a space-to-depth conv.
+
+    A [B, T, 1] (+) [K, 1, C] conv has contraction size K with Cin=1 —
+    MXU-hostile. Folding time by r makes it a [K2, r, r*C] conv
+    (contraction r*K2 ~ K, output lanes r*C), which XLA tiles onto the
+    MXU at full width. Exactly equal to conv1d(x, filters.T[:,None,:], 1).
+
+    Args: x [B, T, 1] (pre-padded), filters [C, K]. Returns [B, T-K+1, C].
+    """
+    b, t, _ = x.shape
+    c_out, k = filters.shape
+    k2 = (k - 1) // r + 2
+    t_out = t - k + 1
+    # pad time so the folded view covers every needed output
+    n_blocks_out = (t_out + r - 1) // r
+    need = (n_blocks_out + k2 - 1) * r
+    if need > t:
+        x = jnp.pad(x, ((0, 0), (0, need - t), (0, 0)))
+    x2 = x[:, :need, 0].reshape(b, need // r, r)          # [B, T2, r]
+    idx, mask = _s2d_indices(k, r, k2)
+    w2 = filters[:, idx] * mask                            # [C, K2, r, r]
+    w2 = jnp.transpose(w2, (1, 2, 3, 0)).reshape(k2, r, r * c_out)
+    y2 = conv1d(x2, w2)                                    # [B, T2-K2+1, r*C]
+    y = y2.reshape(b, -1, c_out)                           # [B, (..)*r, C]
+    return y[:, :t_out]
+
+
+def _fft_bank_conv(x, filters):
+    """Valid cross-correlation of [B, T] with a [C, K] filterbank via
+    rFFT: returns [B, T-K+1, C] equal to conv1d(x[..., None],
+    filters.T[:, None, :], stride=1)."""
+    b, t = x.shape
+    c, k = filters.shape
+    n = t
+    nfft = int(2 ** np.ceil(np.log2(n)))
+    X = jnp.fft.rfft(x, n=nfft)                        # [B, F]
+    # conv (torch cross-correlation): correlate = conv with reversed kernel
+    H = jnp.fft.rfft(filters[:, ::-1], n=nfft)         # [C, F]
+    Y = X[:, None, :] * H[None, :, :]                  # [B, C, F]
+    y = jnp.fft.irfft(Y, n=nfft)[..., k - 1:t]         # [B, C, T-K+1]
+    return jnp.transpose(y, (0, 2, 1))
+
+
 class SincConv(nn.Module):
     """SincNet band-pass conv layer (modules.py:788-934). Input must be
     single-channel [B, T, 1]."""
@@ -185,6 +254,7 @@ class SincConv(nn.Module):
     pad_mode: str = "reflect"
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
+    use_fft: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -200,6 +270,14 @@ class SincConv(nn.Module):
                                      self.min_low_hz, self.min_band_hz)
         if self.padding == "SAME":
             x = pad_1d(x, sinc_same_pad(k, self.stride), self.pad_mode)
+        if self.stride == 1 and self.use_fft:
+            # rFFT evaluation: ~100x fewer FLOPs at K=251, but TPU has no
+            # FFT hardware — measured SLOWER than the direct conv. Kept
+            # for CPU/long-K use.
+            return _fft_bank_conv(x[..., 0], filters)
+        if self.stride == 1:
+            # space-to-depth reformulation: 43ms -> MXU-shaped matmul
+            return _s2d_bank_conv(x, filters, r=8)
         # [C, K] -> [K, 1, C]
         kernel = filters.T[:, None, :]
         return conv1d(x, kernel, self.stride)
@@ -259,11 +337,14 @@ class QRNN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from pase_tpu.precision import get_compute_dtype
+        cd = get_compute_dtype()
         h = x
         for li in range(self.layers):
             src = jnp.concatenate([h, shift_right(h)], axis=-1)
-            y = nn.Dense(3 * self.hidden, name=f"layers_{li}_linear")(src)
-            h, _ = qrnn_pool(y)
+            y = nn.Dense(3 * self.hidden, dtype=cd,
+                         name=f"layers_{li}_linear")(src)
+            h, _ = qrnn_pool(y.astype(jnp.float32))
         return h
 
 
@@ -285,11 +366,16 @@ class Deconv1D(nn.Module):
             "kernel",
             lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
             (self.kwidth, self.features, cin))
+        from pase_tpu.precision import get_compute_dtype
+        cd = get_compute_dtype()
+        xin, kin = x, kernel
+        if cd is not None and x.dtype == jnp.float32:
+            xin, kin = x.astype(cd), kernel.astype(cd)
         y = jax.lax.conv_transpose(
-            x, kernel, strides=(self.stride,),
+            xin, kin, strides=(self.stride,),
             padding=[(self.kwidth - 1 - self.pad, self.kwidth - 1 - self.pad)],
             dimension_numbers=("NWC", "WIO", "NWC"),
-            transpose_kernel=True)
+            transpose_kernel=True).astype(jnp.float32)
         if self.use_bias:
             bias = self.param(
                 "bias",

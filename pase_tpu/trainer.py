@@ -183,7 +183,14 @@ class Trainer:
             grads = jax.jacrev(loss_vec_of_probe)(probe)
             return mgda_rep_weights(grads)
 
+        from pase_tpu.precision import compute_dtype, resolve
+        cdt = resolve(self.cfg.get("compute_dtype"))
+
         def train_step(state: TrainState, raw_batch):
+            # trace-time mixed-precision policy (bf16 MXU passes, f32
+            # accumulation/params) — static once jitted
+            ctx = compute_dtype(cdt)
+            ctx.__enter__()
             rng, k_prep, k_sample, k_drop, k_pol = jax.random.split(
                 state.rng, 5)
             batch = prepare(raw_batch, k_prep)
@@ -256,6 +263,7 @@ class Trainer:
                 policy_state=new_pstate, alpha=alpha_next, rng=rng,
                 step=state.step + 1, d_params=d_params, d_batch_stats=d_bs,
                 d_opt_state=d_opt)
+            ctx.__exit__(None, None, None)
             return new_state, losses
 
         return jax.jit(train_step, donate_argnums=(0,))
@@ -319,6 +327,19 @@ class Trainer:
             if valid_batcher is not None:
                 self.evaluate(state, valid_batcher, epoch=e, key=eval_key)
             self.save(state, e)
+            # async downstream probes (AuxiliarSuperviser,
+            # pase/utils.py:164-185; trigger trainer.py:274-278)
+            sup_exec = self.cfg.get("sup_exec")
+            sup_freq = self.cfg.get("sup_freq", 1)
+            if sup_exec and ((e + 1) % sup_freq == 0 or (e + 1) >= epochs):
+                from pase_tpu.utils import AuxiliarSuperviser
+                if not hasattr(self, "_aux_sup"):
+                    aux_path = os.path.join(self.save_path, "sup_aux")
+                    os.makedirs(aux_path, exist_ok=True)
+                    self._aux_sup = AuxiliarSuperviser(sup_exec, aux_path)
+                self._aux_sup(e, os.path.join(self.save_path,
+                                              f"FE_e{e}.npz"),
+                              self.cfg.get("fe_cfg", ""))
         return state
 
     def evaluate(self, state, batcher, epoch=0, n_batches: Optional[int] = None,
