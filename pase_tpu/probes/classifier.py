@@ -48,6 +48,58 @@ class MLPClassifier(nn.Module):
         return nn.log_softmax(x)
 
 
+class LiGRUCell(nn.RNNCellBase):
+    """Light GRU cell (Ravanelli et al. 2018; the pytorch-kaldi zoo used
+    by the reference probes, pase/models/neural_networks.py):
+    z = sigmoid(Wz x + Uz h); hcand = relu(W x + U h);
+    h' = z*h + (1-z)*hcand."""
+    features: int
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h = carry
+        z = nn.sigmoid(nn.Dense(self.features, name="wz")(x) +
+                       nn.Dense(self.features, use_bias=False,
+                                name="uz")(h))
+        hcand = nn.relu(nn.Dense(self.features, name="wh")(x) +
+                        nn.Dense(self.features, use_bias=False,
+                                 name="uh")(h))
+        new_h = z * h + (1 - z) * hcand
+        return new_h, new_h
+
+    @nn.nowrap
+    def initialize_carry(self, rng, input_shape):
+        return jnp.zeros(input_shape[:-1] + (self.features,))
+
+    @property
+    def num_feature_axes(self):
+        return 1
+
+
+class RNNClassifier(nn.Module):
+    """Sequence classifier head zoo (LSTM/GRU/liGRU) matching the
+    reference's downstream neural_networks options; log-softmax out."""
+    num_classes: int
+    hidden: int = 256
+    layers: int = 1
+    cell_type: str = "gru"      # 'gru' | 'lstm' | 'ligru'
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [B, T, D]
+        h = x
+        for i in range(self.layers):
+            if self.cell_type == "lstm":
+                cell = nn.OptimizedLSTMCell(self.hidden, name=f"lstm_{i}")
+            elif self.cell_type == "ligru":
+                cell = LiGRUCell(self.hidden, name=f"ligru_{i}")
+            else:
+                cell = nn.GRUCell(self.hidden, name=f"gru_{i}")
+            h = nn.RNN(cell, name=f"rnn_{i}")(h)
+        out = nn.Dense(self.num_classes, name="out")(h)
+        return nn.log_softmax(out)
+
+
 def train_mlp_probe(train_x: np.ndarray, train_y: np.ndarray,
                     dev_x: np.ndarray, dev_y: np.ndarray,
                     num_classes: int, hidden: Sequence[int] = (256,),

@@ -1,6 +1,7 @@
 """Downstream probe tests on synthetic class-separable audio."""
 
 import os
+import jax.numpy as jnp
 
 import numpy as np
 import pytest
@@ -113,3 +114,17 @@ def test_frame_classification_probe(synth_corpus, tmp_path):
         data_root=str(synth_corpus), num_classes=2, left=2, right=2,
         hidden=(32,), epochs=12, lr=0.05, log=None)
     assert metrics["test_fer"] <= 0.35, metrics
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm", "ligru"])
+def test_rnn_classifier(cell):
+    from pase_tpu.probes.classifier import RNNClassifier
+    import jax
+    m = RNNClassifier(num_classes=3, hidden=16, cell_type=cell)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 8)
+                    .astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 20, 3)
+    s = np.exp(np.asarray(y)).sum(-1)
+    np.testing.assert_allclose(s, 1.0, atol=1e-4)
