@@ -82,7 +82,21 @@ class Trainer:
 
         # optional GAN worker: D judges a waveform-reconstruction worker's
         # output vs the clean wav (the alldistortions_GAN recipe —
-        # losses.py:137-213 wired through worker_parser)
+        # losses.py:137-213 wired through worker_parser). Worker cfg
+        # entries with loss LSGAN/GAN/Hinge are auto-routed here, like
+        # the reference's worker_parser (pase/utils.py:53-90).
+        if gan_cfg is None:
+            for group in ("regr", "cls"):
+                for e in self.meta[group]:
+                    if e.get("loss") in ("LSGAN", "GAN", "Hinge"):
+                        gan_cfg = {"worker": e["name"],
+                                   "loss": {"GAN": "BCE"}.get(e["loss"],
+                                                              e["loss"]),
+                                   "lr": cfg.get("z_lr", 5e-4)}
+                        # adversarial-only worker: zero out the
+                        # reconstruction criterion
+                        e["loss"] = "L1Loss"
+                        e["loss_weight"] = 0.0
         self.gan_cfg = gan_cfg
         self._d_module = None
         self._d_tx = None

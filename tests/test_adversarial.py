@@ -95,3 +95,30 @@ def test_adversarial_train_step():
     assert "cchunk_g" in l
     d1 = jax.device_get(jax.tree.leaves(state.d_params)[0])
     assert np.abs(d1 - d0).max() > 0  # D actually updated
+
+
+def test_gan_loss_autodetect():
+    """Worker cfg with loss=LSGAN routes to the GAN path (reference
+    worker_parser semantics)."""
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.parallel.mesh import get_mesh
+    workers = {
+        "regr": [
+            {"num_outputs": 1, "dropout": 0, "hidden_size": 32,
+             "hidden_layers": 1, "name": "cchunk", "type": "decoder",
+             "fmaps": [16, 8], "strides": [16, 10],
+             "kwidths": [32, 30], "loss": "LSGAN"},
+        ],
+        "cls": [],
+    }
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    cfg = dict(backprop_mode="base", hop=160, bpe=1, epoch=1, batch_size=4,
+               chunk_size=4800, log_freq=1, save_path="/tmp/pase_gan_auto")
+    tr = Trainer(fe, workers, cfg, mesh=get_mesh())
+    assert tr.gan_cfg is not None
+    assert tr.gan_cfg["worker"] == "cchunk"
+    assert tr.gan_cfg["loss"] == "LSGAN"
+    assert tr.meta["regr"][0]["loss_weight"] == 0.0
+    state = tr.init_state(0)
+    assert state.d_params is not None
