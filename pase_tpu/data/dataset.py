@@ -140,6 +140,72 @@ class ChunkBatcher:
             stop.set()
 
 
+class PairWavDataset(LibriSpeechTupleDataset):
+    """(current, random) pairs — no neighbor context; the MI context
+    chunk falls back to the current wav (pase/dataset.py:274-330)."""
+
+    def sample_tuple(self, index: int):
+        wav, _, rwav = super().sample_tuple(index)
+        return wav, wav, rwav
+
+
+class GenhancementDataset(LibriSpeechTupleDataset):
+    """Parallel noisy/clean corpora: 'chunk' from the noisy tree,
+    'cchunk' from the clean tree at the same path (dataset.py
+    GenhancementDataset; also covers the AMI ihm/sdm layout when
+    clean_root points at the ihm channel)."""
+
+    def __init__(self, data_root, clean_root, data_cfg_file, split,
+                 **kwargs):
+        super().__init__(data_root, data_cfg_file, split, **kwargs)
+        self.clean_root = clean_root
+
+    def _load_clean(self, fname):
+        key = "clean::" + fname
+        if key in self.wav_cache:
+            return self.wav_cache[key]
+        wav, _ = read_wav(os.path.join(self.clean_root, fname))
+        if self.cache_on_load:
+            self.wav_cache[key] = wav
+        return wav
+
+    def sample_tuple(self, index: int):
+        uttname = self.wavs[index]["filename"]
+        noisy = self._load(uttname)
+        clean = self._load_clean(uttname)
+        rindex = self.rng.randint(len(self.wavs) - 1)
+        if rindex >= index:
+            rindex += 1
+        rwav = self._load(self.wavs[rindex]["filename"])
+        return noisy, clean, rwav  # (chunk source, clean source, rand)
+
+
+class MetaConcatDataset:
+    """Concatenation of several tuple datasets
+    (pase/dataset.py MetaWavConcatDataset)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.total_wav_dur = sum(d.total_wav_dur for d in self.datasets)
+        self._offsets = []
+        off = 0
+        for d in self.datasets:
+            self._offsets.append(off)
+            off += len(d)
+        self._len = off
+        self.rec = self.datasets[0].rec
+        self.wavs = [w for d in self.datasets for w in d.wavs]
+
+    def __len__(self):
+        return self._len
+
+    def sample_tuple(self, index: int):
+        for d, off in zip(reversed(self.datasets), reversed(self._offsets)):
+            if index >= off:
+                return d.sample_tuple(index - off)
+        return self.datasets[0].sample_tuple(index)
+
+
 class FastChunkBatcher(ChunkBatcher):
     """ChunkBatcher using the native C++ decoder/cropper
     (native/wavio.cc) when available: python only samples the utterance

@@ -362,6 +362,49 @@ def prosody(wav, hop=160, win=320, f0_min=60, f0_max=300, sr=16000,
     return add_deltas(feats, der_order)
 
 
+# -- LPC ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _sptk_hamming(n: int) -> np.ndarray:
+    """SPTK hamming (pysptk.hamming): standard symmetric Hamming."""
+    return (0.54 - 0.46 * np.cos(2 * np.pi * np.arange(n) / (n - 1))
+            ).astype(np.float32)
+
+
+def lpc(wav, order=25, hop=160, win=320, **_):
+    """Linear prediction coefficients per frame via Levinson-Durbin
+    (pysptk.sptk.lpc replacement, transforms.py:615-669): frames windowed
+    with Hamming, autocorrelation from the power spectrum, [gain,
+    a_1..a_order] per frame. [B, T] -> [B, T//hop, order+1]."""
+    b, t = wav.shape
+    n_frames = t // hop
+    # reference framing: frames start at beg_i = k*hop, length win,
+    # zero-padded at the end (transforms.py:626-639 + range step hop)
+    frames = frame_signal(wav, win, hop, n_frames=n_frames, pad_end=True)
+    frames = frames * jnp.asarray(_sptk_hamming(win))
+    nfft = int(2 ** np.ceil(np.log2(2 * win)))
+    spec = jnp.abs(jnp.fft.rfft(frames, n=nfft)) ** 2
+    r = jnp.fft.irfft(spec, n=nfft)[..., :order + 1]     # [B, F, order+1]
+    r = r + 1e-9 * r[..., :1] + 1e-12                    # regularize
+    # Levinson-Durbin, static unroll over the order
+    a = jnp.zeros(frames.shape[:-1] + (order + 1,))
+    a = a.at[..., 0].set(1.0)
+    e = r[..., 0]
+    for i in range(1, order + 1):
+        acc = r[..., i]
+        for j in range(1, i):
+            acc = acc + a[..., j] * r[..., i - j]
+        k = -acc / e
+        new_a = a
+        for j in range(1, i):
+            new_a = new_a.at[..., j].add(k * a[..., i - j])
+        a = new_a.at[..., i].set(k)
+        e = e * (1.0 - k * k)
+    gain = jnp.sqrt(jnp.maximum(e, 1e-20))
+    return jnp.concatenate([gain[..., None], a[..., 1:]], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # registry / worker-name dispatch (mirrors train.py:37-136)
 # ---------------------------------------------------------------------------
@@ -372,6 +415,8 @@ _FEATURE_BUILDERS = {
     "gtn": gammatone,
     "mfcc": mfcc,
     "prosody": prosody,
+    "lpc": lpc,
+    "kaldimfcc": mfcc,   # JAX reimplementation (SURVEY §2.9 featbin note)
 }
 
 
@@ -407,4 +452,6 @@ def feature_dim_for_worker(name: str, transform_cfg: Optional[dict] = None,
         return cfg.get("order", 13) * mult
     if "prosody" in name:
         return 4 * mult
+    if "lpc" in name:
+        return cfg.get("order", 25) + 1
     return None

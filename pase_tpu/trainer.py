@@ -319,13 +319,20 @@ class Trainer:
         epoch_beg = step0 // bpe
         it = iter(batcher)
         eval_key = jax.random.PRNGKey(1234)
+
+        def stage(raw):
+            # async H2D: device_put returns immediately; the transfer
+            # overlaps the in-flight step (double buffering)
+            return shard_batch({k: jnp.asarray(v) for k, v in raw.items()},
+                               self.mesh)
+
+        staged = stage(next(it))
         for e in range(epoch_beg, epochs):
             t0 = time.time()
             last_losses = None
             for bidx in range(1, bpe + 1):
-                raw = next(it)
-                raw = shard_batch({k: jnp.asarray(v) for k, v in raw.items()},
-                                  self.mesh)
+                raw = staged
+                staged = stage(next(it))
                 state, losses = self._train_step(state, raw)
                 if bidx % self.log_freq == 0 or bidx >= bpe:
                     last_losses = {k: float(v) for k, v in

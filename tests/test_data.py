@@ -142,3 +142,29 @@ def test_reference_stats_pkl_loadable(tmp_path):
     from pase_tpu.data.pipeline import load_stats_pkl
     back = load_stats_pkl(p)
     np.testing.assert_allclose(back["lps"]["mean"], np.arange(5))
+
+
+def test_pair_and_concat_datasets(corpus):
+    from pase_tpu.data.dataset import (PairWavDataset, MetaConcatDataset,
+                                       LibriSpeechTupleDataset)
+    root, cfg = corpus
+    pair = PairWavDataset(root, cfg, "train")
+    w, c, r = pair.sample_tuple(0)
+    np.testing.assert_allclose(w, c)   # ctxt falls back to current
+    d1 = LibriSpeechTupleDataset(root, cfg, "train")
+    meta = MetaConcatDataset([d1, pair])
+    assert len(meta) == len(d1) + len(pair)
+    assert meta.total_wav_dur == d1.total_wav_dur + pair.total_wav_dur
+    w2, c2, r2 = meta.sample_tuple(len(d1) + 1)
+    assert w2.ndim == 1
+
+
+def test_genhancement_dataset(corpus, tmp_path):
+    from pase_tpu.data.dataset import GenhancementDataset
+    root, cfg = corpus
+    import shutil, json
+    clean = tmp_path / "clean"
+    shutil.copytree(root, clean, dirs_exist_ok=True)
+    ds = GenhancementDataset(root, str(clean), cfg, "train")
+    noisy, cl, rnd = ds.sample_tuple(1)
+    np.testing.assert_allclose(noisy, cl)  # identical trees here

@@ -127,3 +127,27 @@ def test_worker_dispatch_matches_reference_cfg():
             assert y.shape == (1, 30, dims[name]), (name, y.shape)
     for w in cfg["cls"]:
         assert F.feature_fn_for_worker(w["name"]) is None
+
+
+def test_lpc_recovers_ar_coefficients():
+    """LPC on an AR(2) process recovers the generating coefficients."""
+    rng = np.random.RandomState(0)
+    a1, a2 = 1.3, -0.6   # stable AR(2): x_t = a1 x_{t-1} + a2 x_{t-2} + e
+    n = 16000
+    e = rng.randn(n).astype(np.float64)
+    x = np.zeros(n)
+    for t in range(2, n):
+        x[t] = a1 * x[t - 1] + a2 * x[t - 2] + e[t]
+    x = (x / np.abs(x).max()).astype(np.float32)
+    y = np.asarray(F.lpc(jnp.asarray(x[None]), order=8, win=2048, hop=2048))
+    # predictor coeffs of A(z): a_hat ~ [-a1, -a2, 0, ...]
+    coefs = y[0, 2:-2, 1:3].mean(axis=0)   # skip edge frames
+    np.testing.assert_allclose(coefs, [-a1, -a2], atol=0.08)
+    assert y.shape[-1] == 9
+
+
+def test_lpc_dispatch():
+    fn = F.feature_fn_for_worker("lpc", {"order": 10, "win": 320})
+    y = fn(jnp.zeros((1, 4800)))
+    assert y.shape == (1, 30, 11)
+    assert F.feature_dim_for_worker("lpc", {"order": 10}) == 11
