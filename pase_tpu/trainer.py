@@ -282,6 +282,28 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    def make_multi_train_step(self, n_inner: int):
+        """K train steps fused into one executable via lax.scan over
+        stacked batches [K, B, T] — amortizes per-dispatch latency and
+        lets XLA overlap the optimizer tail with the next step's head."""
+        single = getattr(self, "_train_step_body", None)
+        if single is None:
+            # reuse the traced body by building the un-jitted step
+            jitted = self._make_train_step()
+            # _make_train_step returns a jitted fn; grab its wrapped fn
+            single = jitted.__wrapped__
+            self._train_step_body = single
+
+        def multi(state, batches):
+            def body(carry, batch):
+                new_state, losses = single(carry, batch)
+                return new_state, losses["total"]
+
+            state, totals = jax.lax.scan(body, state, batches)
+            return state, totals
+
+        return jax.jit(multi, donate_argnums=(0,))
+
     def _make_eval_step(self):
         model, meta = self.model, self.meta
         prepare = self.prepare
