@@ -64,6 +64,17 @@ def build_argparser():
     p.add_argument("--preload_wav", action="store_true", default=False)
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use synthetic data (smoke/bench runs)")
+    p.add_argument("--dataset", action="append", default=[],
+                   help="LibriSpeechSegTupleWavDataset (default) | "
+                        "PairWavDataset | GenhancementDataset")
+    p.add_argument("--clean_root", type=str, default=None,
+                   help="clean tree for GenhancementDataset")
+    p.add_argument("--fast_loader", action="store_true", default=False,
+                   help="use the native C++ decode/crop loader")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   help="bfloat16 for mixed-precision MXU passes")
+    p.add_argument("--gan_cfg", type=str, default=None,
+                   help="JSON: {worker, loss, lr, weight} GAN worker")
     return p
 
 
@@ -140,15 +151,34 @@ def train(opts):
                                            seed=opts.seed + 1)
         bpe = 100
     else:
-        ds = LibriSpeechTupleDataset(opts.data_root[0], opts.data_cfg[0],
-                                     "train", zero_speech_p=opts.zero_speech_p,
-                                     seed=opts.seed)
-        va_ds = LibriSpeechTupleDataset(opts.data_root[0], opts.data_cfg[0],
-                                        "valid", seed=opts.seed + 1)
-        batcher = ChunkBatcher(ds, opts.batch_size, opts.chunk_size,
-                               seed=opts.seed)
-        va_batcher = ChunkBatcher(va_ds, opts.batch_size, opts.chunk_size,
-                                  seed=opts.seed + 1)
+        from pase_tpu.data import dataset as ds_mod
+        ds_name = (opts.dataset[0] if opts.dataset
+                   else "LibriSpeechSegTupleWavDataset")
+        ds_cls = {"LibriSpeechSegTupleWavDataset":
+                  ds_mod.LibriSpeechTupleDataset,
+                  "PairWavDataset": ds_mod.PairWavDataset,
+                  "GenhancementDataset": ds_mod.GenhancementDataset,
+                  }[ds_name]
+        kw = {}
+        if ds_cls is ds_mod.GenhancementDataset:
+            kw["clean_root"] = opts.clean_root
+
+        def make_ds(split, seed):
+            if ds_cls is ds_mod.GenhancementDataset:
+                return ds_cls(opts.data_root[0], opts.clean_root,
+                              opts.data_cfg[0], split, seed=seed)
+            return ds_cls(opts.data_root[0], opts.data_cfg[0], split,
+                          zero_speech_p=opts.zero_speech_p
+                          if split == "train" else 0.0, seed=seed)
+
+        ds = make_ds("train", opts.seed)
+        va_ds = make_ds("valid", opts.seed + 1)
+        batcher_cls = (ds_mod.FastChunkBatcher if opts.fast_loader
+                       else ChunkBatcher)
+        batcher = batcher_cls(ds, opts.batch_size, opts.chunk_size,
+                              seed=opts.seed)
+        va_batcher = batcher_cls(va_ds, opts.batch_size, opts.chunk_size,
+                                 seed=opts.seed + 1)
         bpe = batcher.bpe
         print(f"Dataset: {ds.total_wav_dur/16000/3600.0:.1f} h train audio, "
               f"bpe={bpe}")
@@ -161,8 +191,9 @@ def train(opts):
     cfg.update(bpe=bpe, va_bpe=max(bpe // 10, 1),
                random_scale=str2bool(opts.random_scale),
                ckpt_continue=not str2bool(opts.no_continue))
+    gan_cfg = json.loads(opts.gan_cfg) if opts.gan_cfg else None
     tr = Trainer(fe_cfg, wk_cfg, cfg, stats=stats, dist_cfg=dist_cfg,
-                 dist_assets=dist_assets)
+                 dist_assets=dist_assets, gan_cfg=gan_cfg)
     tr.train_(batcher, va_batcher, resume=cfg["ckpt_continue"])
 
 

@@ -138,6 +138,72 @@ def make_fbanks(opts):
     print(f"Wrote {len(paths)} fbank files to {opts.out_dir}")
 
 
+def vadproc(opts):
+    """Energy-VAD segmentation of a wav list: writes per-utterance speech
+    region files `beg end` in samples (util_scripts/vadproc.py
+    replacement; WebRTC VAD -> frame-energy VAD)."""
+    from pase_tpu.data.io import read_wav
+    os.makedirs(opts.out_dir, exist_ok=True)
+    with open(opts.wav_list) as f:
+        paths = [l.split()[0] for l in f if l.strip()]
+    win = 160
+    for p in paths:
+        wav, _ = read_wav(os.path.join(opts.data_root, p))
+        n = len(wav) // win
+        fe = 10 * np.log10(
+            np.mean(wav[:n * win].reshape(n, win) ** 2, axis=1) + 1e-12)
+        thresh = max(fe.max() + opts.thresh_db, -55.0)
+        speech = fe > thresh
+        regions = []
+        beg = None
+        for i, s in enumerate(speech):
+            if s and beg is None:
+                beg = i
+            elif not s and beg is not None:
+                regions.append((beg * win, i * win))
+                beg = None
+        if beg is not None:
+            regions.append((beg * win, n * win))
+        out = os.path.join(opts.out_dir,
+                           os.path.splitext(os.path.basename(p))[0] + ".vad")
+        with open(out, "w") as f:
+            for b, e in regions:
+                f.write(f"{b} {e}\n")
+    print(f"Wrote VAD regions for {len(paths)} files to {opts.out_dir}")
+
+
+def make_contaminated(opts):
+    """Apply the on-device distortion stack offline to a wav list
+    (util_scripts/make_contaminated_trainset.py replacement)."""
+    import json as _json
+    import jax
+    import jax.numpy as jnp
+    from pase_tpu.data.io import read_wav, write_wav
+    from pase_tpu.data.distortions import apply_distortions, config_from_json
+    import importlib
+    train_mod = importlib.import_module("train")
+    with open(opts.dtrans_cfg) as f:
+        dj = _json.load(f)
+    cfg = config_from_json(dj)
+
+    class _O:
+        dtrans_cfg = [opts.dtrans_cfg]
+    _, assets = train_mod.build_distortions(_O(), opts.chunk_size)
+    os.makedirs(opts.out_dir, exist_ok=True)
+    with open(opts.wav_list) as f:
+        paths = [l.split()[0] for l in f if l.strip()]
+    key = jax.random.PRNGKey(opts.seed)
+    for p in paths:
+        wav, sr = read_wav(os.path.join(opts.data_root, p))
+        t = (len(wav) // 160) * 160
+        key, sub = jax.random.split(key)
+        y, _ = apply_distortions(jnp.asarray(wav[None, :t]), sub, cfg,
+                                 assets)
+        write_wav(os.path.join(opts.out_dir, os.path.basename(p)),
+                  np.asarray(y)[0], sr)
+    print(f"Contaminated {len(paths)} files -> {opts.out_dir}")
+
+
 def export_torch(opts):
     """Export a native FE_e*.npz encoder ckpt to a torch state dict with
     reference key names, so reference-side tooling can consume it."""
@@ -217,10 +283,25 @@ def main():
     et.add_argument("--in_ckpt", required=True)
     et.add_argument("--out_ckpt", required=True)
 
+    vp = sub.add_parser("vadproc")
+    vp.add_argument("--wav_list", required=True)
+    vp.add_argument("--data_root", default="")
+    vp.add_argument("--out_dir", required=True)
+    vp.add_argument("--thresh_db", type=float, default=-40.0)
+
+    mc = sub.add_parser("make-contaminated")
+    mc.add_argument("--wav_list", required=True)
+    mc.add_argument("--data_root", default="")
+    mc.add_argument("--out_dir", required=True)
+    mc.add_argument("--dtrans_cfg", required=True)
+    mc.add_argument("--chunk_size", type=int, default=32000)
+    mc.add_argument("--seed", type=int, default=0)
+
     opts = p.parse_args()
     {"forward-chunk": forward_chunk, "eval-ckpts": eval_ckpts,
      "clusterize": clusterize, "make-fbanks": make_fbanks,
-     "export-torch": export_torch}[opts.cmd](opts)
+     "export-torch": export_torch, "vadproc": vadproc,
+     "make-contaminated": make_contaminated}[opts.cmd](opts)
 
 
 if __name__ == "__main__":
