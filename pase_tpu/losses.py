@@ -59,10 +59,26 @@ _LOSSES = {
 
 def make_loss(name: str, r: Optional[int] = None) -> Callable:
     """Loss factory replicating worker_parser's ContextualizedLoss wrapping
-    (/root/reference/pase/utils.py:53-90)."""
+    (/root/reference/pase/utils.py:53-90).
+
+    For r-frame targets the framed tensor (r x the target's size; 550 MB
+    per LPS head at batch 32) is never materialized: the loss streams
+    over the r offsets against shifted views of the target — numerically
+    identical to base(pred, contextualize_r(target, r)) for elementwise
+    mean criteria.
+    """
     base = _LOSSES[name]
 
     def loss_fn(pred, target):
-        return base(pred, contextualize_r(target, r))
+        if r is None or r <= 1:
+            return base(pred, target)
+        b, t, dr = pred.shape
+        d = dr // r
+        p = pred.reshape(b, t, d, r)
+        pad = jnp.pad(target, ((0, 0), (r // 2, r // 2), (0, 0)))
+        tot = 0.0
+        for j in range(r):
+            tot = tot + base(p[..., j], pad[:, j:j + t])
+        return tot / r
 
     return loss_fn

@@ -146,9 +146,11 @@ class PASE(nn.Module):
             self.chunk_masks = make_chunk_masks(
                 [e["name"] for e in cls_meta + regr_meta], emb,
                 int(self.chunking_K), seed=self.chunking_seed)
+        # the encoder only sees cchunk when a regularizer ties
+        # PASE(chunk) to PASE(cchunk) (pase.py:300-317); the cchunk
+        # DECODER worker's target is the raw clean wav from the batch
         self.fwd_cchunk = any("cchunk" in e["name"]
-                              for e in self._regu_meta) or \
-            any(e["name"] == "cchunk" for e in wcfg.get("regr", []))
+                              for e in self._regu_meta)
 
     @property
     def worker_names(self) -> List[str]:
