@@ -204,6 +204,44 @@ def make_contaminated(opts):
     print(f"Contaminated {len(paths)} files -> {opts.out_dir}")
 
 
+def select_ckpt(opts):
+    """Pick the best checkpoint from probe metric JSONs
+    (spk_id/select_supervised_ckpt.py replacement)."""
+    best, best_v = None, None
+    for f in glob.glob(opts.metrics_glob):
+        with open(f) as fh:
+            m = json.load(fh)
+        v = m.get(opts.metric)
+        if v is None:
+            continue
+        better = (best_v is None or
+                  (v > best_v if opts.maximize else v < best_v))
+        if better:
+            best, best_v = f, v
+    print(json.dumps({"best": best, opts.metric: best_v}))
+
+
+def project_features(opts):
+    """PCA projection of frame embeddings to n_components for inspection
+    (util_scripts/project_features.py replacement)."""
+    import jax.numpy as jnp
+    from pase_tpu.probes.extract import FeatureExtractor
+    ex = FeatureExtractor(opts.fe_cfg, opts.fe_ckpt)
+    with open(opts.wav_list) as f:
+        paths = [l.split()[0] for l in f if l.strip()]
+    feats = [ex.extract_file(os.path.join(opts.data_root, p))
+             for p in paths[:opts.max_utts or None]]
+    x = np.concatenate(feats, axis=0)
+    x = x - x.mean(axis=0)
+    cov = jnp.asarray(x.T @ x / len(x))
+    w, v = np.linalg.eigh(np.asarray(cov))
+    proj = x @ np.asarray(v[:, ::-1][:, :opts.n_components])
+    np.save(opts.out_file, proj)
+    ev = w[::-1][:opts.n_components] / w.sum()
+    print(f"projected {x.shape} -> {proj.shape}; explained var "
+          f"{ev.round(3).tolist()}")
+
+
 def export_torch(opts):
     """Export a native FE_e*.npz encoder ckpt to a torch state dict with
     reference key names, so reference-side tooling can consume it."""
@@ -297,11 +335,26 @@ def main():
     mc.add_argument("--chunk_size", type=int, default=32000)
     mc.add_argument("--seed", type=int, default=0)
 
+    sc = sub.add_parser("select-ckpt")
+    sc.add_argument("--metrics_glob", required=True)
+    sc.add_argument("--metric", default="test_sentence_acc")
+    sc.add_argument("--maximize", action="store_true", default=True)
+
+    pf = sub.add_parser("project-features")
+    pf.add_argument("--fe_cfg", required=True)
+    pf.add_argument("--fe_ckpt", default=None)
+    pf.add_argument("--wav_list", required=True)
+    pf.add_argument("--data_root", default="")
+    pf.add_argument("--n_components", type=int, default=2)
+    pf.add_argument("--max_utts", type=int, default=None)
+    pf.add_argument("--out_file", default="projected.npy")
+
     opts = p.parse_args()
     {"forward-chunk": forward_chunk, "eval-ckpts": eval_ckpts,
      "clusterize": clusterize, "make-fbanks": make_fbanks,
      "export-torch": export_torch, "vadproc": vadproc,
-     "make-contaminated": make_contaminated}[opts.cmd](opts)
+     "make-contaminated": make_contaminated, "select-ckpt": select_ckpt,
+     "project-features": project_features}[opts.cmd](opts)
 
 
 if __name__ == "__main__":
