@@ -244,10 +244,14 @@ def gammatone(wav, f_min=500, n_channels=40, hop=160, win=400, rate=16000,
     t = wav.shape[-1]
     expected = t // hop
     bank = jnp.asarray(gammatone_fir_bank(rate, n_channels, float(f_min)))
-    # [B, 1, T] conv with [C, K] -> [B, C, T]
-    full = fft_convolve_full(wav[:, None, :], bank[None, :, :])
-    filtered = full[..., :t]                       # [B, C, T]
-    power = jnp.square(filtered)
+    # causal FIR: pad left K-1, valid s2d conv (MXU path; FFT conv is
+    # slow on TPU) -> [B, T, C]
+    k = bank.shape[1]
+    xp = jnp.pad(wav, ((0, 0), (k - 1, 0)))[..., None]
+    from pase_tpu.nn import _s2d_bank_conv
+    # conv1d is cross-correlation; reverse the IRs for true causal conv
+    filtered = _s2d_bank_conv(xp, bank[:, ::-1], r=8)   # [B, T, C]
+    power = jnp.square(jnp.transpose(filtered, (0, 2, 1)))  # [B, C, T]
     ncols = (t - win) // hop + 1
     b, c, _ = power.shape
     frames = frame_signal(power.reshape(b * c, t), win, hop,

@@ -32,9 +32,20 @@ def frame_signal(x, frame_len: int, hop: int, n_frames: int = None,
     return x[:, idx]                                       # [B, F, L]
 
 
+@functools.lru_cache(maxsize=16)
+def _dft_mats(win: int, n_fft: int):
+    """Real-DFT cos/sin matrices [win, n_fft//2+1] (frames are zero-padded
+    to n_fft, so only the first `win` rows matter). TPU has no FFT unit —
+    evaluating small DFTs as two MXU matmuls is faster than jnp.fft."""
+    n = np.arange(win)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), -np.sin(ang).astype(np.float32)
+
+
 def stft_mag(wav, n_fft: int, hop: int, win: int, window=None,
              center: bool = True, pad_mode: str = "reflect",
-             n_frames: int = None):
+             n_frames: int = None, use_matmul: bool = None):
     """Magnitude STFT matching torch.stft / librosa.stft conventions.
 
     torch.stft zero-pads the length-``win`` window symmetrically to
@@ -57,6 +68,13 @@ def stft_mag(wav, n_fft: int, hop: int, win: int, window=None,
     frames = frame_signal(wav, win, hop, n_frames=n_frames)
     if window is not None:
         frames = frames * jnp.asarray(window)
+    if use_matmul is None:
+        use_matmul = n_fft <= 4096
+    if use_matmul:
+        c, s = _dft_mats(win, n_fft)
+        re = frames @ jnp.asarray(c)
+        im = frames @ jnp.asarray(s)
+        return jnp.sqrt(re * re + im * im + 1e-30)
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     return jnp.abs(spec)
 
