@@ -70,6 +70,13 @@ def make_loss(name: str, r: Optional[int] = None) -> Callable:
     base = _LOSSES[name]
 
     def loss_fn(pred, target):
+        # reductions always in f32 (bf16 means over millions of elements
+        # lose precision under the mixed-precision policy)
+        if pred.dtype != jnp.float32:
+            pred = pred.astype(jnp.float32)
+        if hasattr(target, "dtype") and target.dtype != jnp.float32 and \
+                jnp.issubdtype(target.dtype, jnp.floating):
+            target = target.astype(jnp.float32)
         if r is None or r <= 1:
             return base(pred, target)
         b, t, dr = pred.shape

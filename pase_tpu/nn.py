@@ -36,21 +36,20 @@ def conv1d(x, kernel, stride=1, dilation=1):
     """
     from pase_tpu.precision import get_compute_dtype
     cd = get_compute_dtype()
-    out_dtype = x.dtype
     if cd is not None and x.dtype == jnp.float32:
+        # keep the activation chain in the compute dtype end-to-end:
+        # halves HBM traffic through the 16 kHz layers
         x = x.astype(cd)
-        kernel = kernel.astype(cd)
     # NOTE: no preferred_element_type here — TPU bf16 convs accumulate in
     # f32 inside the MXU already, and a widened output dtype breaks the
     # autodiff transpose rule's dtype matching.
-    y = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=(stride,),
         padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
-    return y.astype(jnp.float32) if out_dtype == jnp.float32 else y
 
 
 class PReLU(nn.Module):
@@ -63,7 +62,7 @@ class PReLU(nn.Module):
     def __call__(self, x):
         a = self.param("weight", lambda k: jnp.full((self.features,), self.init,
                                                     dtype=jnp.float32))
-        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+        return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
 
 
 class BatchNorm1d(nn.Module):
@@ -85,8 +84,10 @@ class BatchNorm1d(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,)))
         if train:
-            mean = jnp.mean(x, axis=(0, 1))
-            var = jnp.mean(jnp.square(x - mean), axis=(0, 1))
+            # stats always in f32 (bf16 means over B*T lose precision)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1))
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1))
             n = x.shape[0] * x.shape[1]
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -95,11 +96,12 @@ class BatchNorm1d(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
         if self.affine:
             scale = self.param("weight", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y * scale + bias
+            y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
         return y
 
 

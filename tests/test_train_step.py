@@ -163,3 +163,36 @@ def test_save_and_resume(tmp_path):
     leaf0 = jax.tree.leaves(p0)[0]
     leaf1 = jax.tree.leaves(p1)[0]
     np.testing.assert_allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_pase_v01_config_end_to_end():
+    """BASELINE config 2: PASE v0.1 (workers.cfg incl. SPC) trains."""
+    import json
+    with open("/root/reference/cfg/workers/workers.cfg") as f:
+        wk = json.load(f)
+    with open("/root/reference/cfg/frontend/PASE.cfg") as f:
+        fe = json.load(f)
+    cfg = dict(backprop_mode="base", hop=160, bpe=2, epoch=1,
+               batch_size=8, chunk_size=16000, log_freq=1,
+               save_path="/tmp/pase_v01_test", fe_lr=5e-4, min_lr=5e-4)
+    tr = Trainer(fe, wk, cfg, mesh=get_mesh())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    from pase_tpu.parallel.mesh import shard_batch
+    b = iter(SyntheticChunkBatcher(8, 16000, seed=0))
+    for _ in range(2):
+        raw = shard_batch({k: jnp.asarray(v) for k, v in next(b).items()},
+                          tr.mesh)
+        state, losses = step(state, raw)
+    l = jax.device_get(losses)
+    expect = {"cchunk", "lps", "mfcc", "prosody", "spc", "mi", "cmi",
+              "total"}
+    assert expect <= set(l), set(l)
+    for k, v in l.items():
+        assert np.isfinite(float(v)), k
+    # v0.1 dims: lps 1025 (no deltas), mfcc 20, prosody 4
+    from pase_tpu.ops.features import feature_dim_for_worker
+    assert feature_dim_for_worker("lps", {"der_order": 0}) == 1025
+    assert feature_dim_for_worker("mfcc", {"der_order": 0,
+                                           "order": 20}) == 20
+    assert feature_dim_for_worker("prosody", {"der_order": 0}) == 4
