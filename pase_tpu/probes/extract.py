@@ -17,12 +17,21 @@ from pase_tpu.data.io import read_wav
 
 
 class FeatureExtractor:
+    """Frozen-encoder (or classical-feature baseline) extractor.
+
+    feature_type='pase' uses the encoder; 'mfcc'/'fbank' compute the
+    classical features instead (the spk_id/mfcc_baseline.py comparison
+    path in the reference)."""
 
     def __init__(self, fe_cfg, ckpt_path: Optional[str] = None,
-                 mode: Optional[str] = None, pad_to: int = 1600):
-        self.encoder = wf_builder(fe_cfg)
-        if ckpt_path:
-            self.encoder.load_pretrained(ckpt_path, load_last=True)
+                 mode: Optional[str] = None, pad_to: int = 1600,
+                 feature_type: str = "pase"):
+        self.feature_type = feature_type
+        self.encoder = None
+        if feature_type == "pase":
+            self.encoder = wf_builder(fe_cfg)
+            if ckpt_path:
+                self.encoder.load_pretrained(ckpt_path, load_last=True)
         self.mode = mode
         self.pad_to = pad_to  # static-shape buckets to bound recompiles
 
@@ -32,8 +41,16 @@ class FeatureExtractor:
         bucket = int(np.ceil(t / self.pad_to)) * self.pad_to
         x = np.zeros((1, bucket), dtype=np.float32)
         x[0, :t] = wav
-        y = self.encoder(x, mode=self.mode)      # (1, D, F)
         frames = t // 160
+        if self.feature_type != "pase":
+            from pase_tpu.ops import features as FT
+            fn = {"mfcc": FT.mfcc, "fbank": FT.fbanks}[self.feature_type]
+            y = np.asarray(fn(jnp.asarray(x)))[0, :frames]   # [F, D]
+            from pase_tpu.frontend import select_output
+            y = np.asarray(select_output(
+                jnp.asarray(y.T[None]), self.mode))[0].T
+            return y
+        y = self.encoder(x, mode=self.mode)      # (1, D, F)
         return np.asarray(y)[0, :, :frames].T
 
     def extract_file(self, path: str) -> np.ndarray:

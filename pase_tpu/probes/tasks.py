@@ -48,9 +48,13 @@ def run_utt_classification(fe_cfg, fe_ckpt, train_list, test_list,
                            data_root: str = "", mode: str = "avg_concat",
                            hidden=(256,), epochs: int = 20, lr: float = 0.1,
                            batch_size: int = 2048, seed: int = 0,
-                           max_utts: Optional[int] = None, log=print):
-    """Returns metrics dict with frame/sentence accuracies."""
-    ex = FeatureExtractor(fe_cfg, fe_ckpt, mode=mode)
+                           max_utts: Optional[int] = None, log=print,
+                           feature_type: str = "pase"):
+    """Returns metrics dict with frame/sentence accuracies.
+    feature_type='mfcc'/'fbank' runs the classical-feature baseline
+    (spk_id/mfcc_baseline.py)."""
+    ex = FeatureExtractor(fe_cfg, fe_ckpt, mode=mode,
+                          feature_type=feature_type)
     tr = _read_list(train_list)[:max_utts]
     te = _read_list(test_list)[:max_utts]
     labels = sorted({l for _, l in tr})

@@ -26,6 +26,8 @@ def main():
     p.add_argument("--test_list", required=True)
     p.add_argument("--data_root", default="")
     p.add_argument("--mode", default="avg_concat")
+    p.add_argument("--feature_type", default="pase",
+                   help="pase | mfcc | fbank (classical baseline)")
     p.add_argument("--hidden", type=int, nargs="+", default=[256])
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=0.1)
@@ -47,7 +49,7 @@ def main():
             data_root=opts.data_root, mode=opts.mode,
             hidden=tuple(opts.hidden), epochs=opts.epochs, lr=opts.lr,
             batch_size=opts.batch_size, seed=opts.seed,
-            max_utts=opts.max_utts)
+            max_utts=opts.max_utts, feature_type=opts.feature_type)
     elif opts.task == "frames":
         metrics = tasks.run_frame_classification(
             opts.fe_cfg, opts.fe_ckpt, opts.train_list, opts.test_list,
