@@ -74,6 +74,7 @@ def bench_ours():
     cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=400,
                batch_size=B, chunk_size=T, log_freq=100,
                fe_lr=1e-3, min_lr=5e-4, lr_mode="poly",
+               compute_dtype="bfloat16",
                save_path="/tmp/pase_bench_ckpt")
     tr = Trainer(fe_cfg, wk_cfg, cfg, stats=stats, dist_cfg=dcfg,
                  dist_assets=assets, mesh=get_mesh())
