@@ -8,9 +8,13 @@ positive/negative context pairs above chance. Writes JSON results.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

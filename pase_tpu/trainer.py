@@ -152,7 +152,7 @@ class Trainer:
             alpha=jnp.ones((self.num_workers,)), rng=rng,
             step=jnp.zeros((), jnp.int32),
             d_params=d_params, d_batch_stats=d_bs, d_opt_state=d_opt)
-        return jax.device_get(state) and replicate(state, self.mesh)
+        return replicate(state, self.mesh)
 
     # -- steps ----------------------------------------------------------------
 
