@@ -239,7 +239,12 @@ class FastChunkBatcher(ChunkBatcher):
 
 
 class SyntheticChunkBatcher:
-    """Deterministic synthetic raw-chunk source (tests / benchmarks)."""
+    """Deterministic synthetic raw-chunk source (tests / benchmarks).
+
+    Mirrors the MI-tuple structure of real data: 'chunk' and 'chunk_ctxt'
+    come from the same synthetic 'speaker' (shared f0/timbre, different
+    noise + modulation phase); 'chunk_rand' from a different speaker —
+    so the LIM/GIM contrastive task is actually learnable."""
 
     def __init__(self, batch_size: int, chunk_size: int, seed: int = 0,
                  bpe: int = 100):
@@ -248,21 +253,27 @@ class SyntheticChunkBatcher:
         self.rng = np.random.RandomState(seed)
         self.bpe = bpe
 
-    def _speechlike(self, b, t):
+    def _speechlike(self, f0, tilt, t):
+        b = f0.shape[0]
         n = np.arange(t)
-        f0 = self.rng.uniform(80, 260, size=(b, 1))
-        sig = sum(np.sin(2 * np.pi * f0 * k * n[None, :] / 16000) / k
+        sig = sum(np.sin(2 * np.pi * f0 * k * n[None, :] / 16000
+                         + self.rng.uniform(0, 6.28, (b, 1))) / k ** tilt
                   for k in range(1, 6))
         env = 0.5 + 0.5 * np.sin(2 * np.pi * self.rng.uniform(1, 4, (b, 1))
-                                 * n[None, :] / 16000)
+                                 * n[None, :] / 16000
+                                 + self.rng.uniform(0, 6.28, (b, 1)))
         noise = self.rng.randn(b, t) * 0.05
         return ((sig * env * 0.2) + noise).astype(np.float32)
 
     def _make_batch(self):
         b, t = self.batch_size, self.chunk_size
-        return {"chunk": self._speechlike(b, t),
-                "chunk_ctxt": self._speechlike(b, t),
-                "chunk_rand": self._speechlike(b, t)}
+        f0 = self.rng.uniform(80, 260, size=(b, 1))
+        tilt = self.rng.uniform(0.7, 1.5, size=(b, 1))
+        f0_rand = self.rng.uniform(80, 260, size=(b, 1))
+        tilt_rand = self.rng.uniform(0.7, 1.5, size=(b, 1))
+        return {"chunk": self._speechlike(f0, tilt, t),
+                "chunk_ctxt": self._speechlike(f0, tilt, t),
+                "chunk_rand": self._speechlike(f0_rand, tilt_rand, t)}
 
     def __iter__(self):
         while True:
