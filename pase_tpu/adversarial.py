@@ -100,6 +100,22 @@ class WaveDiscriminator(nn.Module):
         return y + cls                                    # [B, 1]
 
 
+class ZDiscriminator(nn.Module):
+    """Latent discriminator for the z-adversarial prior regularizer
+    (ZAdversarialLoss, /root/reference/pase/losses.py:40-135): a small
+    frame-wise MLP judging encoder embeddings vs N(0,1) samples."""
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, h, train: bool = False):
+        # h: [B, F, D] -> [B, F, 1] logits
+        x = h
+        for i, hd in enumerate(self.hidden):
+            x = nn.Dense(hd, name=f"fc_{i}")(x)
+            x = PReLU(hd, init=0.25, name=f"act_{i}")(x)
+        return nn.Dense(1, name="out")(x)
+
+
 def gan_labels(loss_type: str):
     """(real, fake, gen) target labels (losses.py:144-152)."""
     if loss_type in ("L2", "LSGAN"):

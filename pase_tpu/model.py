@@ -59,6 +59,8 @@ def parse_workers_cfg(cfg) -> Dict[str, List[dict]]:
             cfg = json.load(f)
     out = {"regr": [], "cls": [], "regu": []}
     for group, entries in cfg.items():
+        if group not in out:   # provenance/comment keys
+            continue
         for e in entries:
             e = dict(e)
             e.setdefault("type", "mlp")

@@ -101,8 +101,14 @@ class Trainer:
         self._d_module = None
         self._d_tx = None
         if gan_cfg is not None:
-            from pase_tpu.adversarial import WaveDiscriminator
-            self._d_module = WaveDiscriminator()
+            if gan_cfg.get("type", "wave") == "z":
+                # latent prior regularizer (ZAdversarialLoss,
+                # losses.py:40-135): D on embeddings vs N(0,1)
+                from pase_tpu.adversarial import ZDiscriminator
+                self._d_module = ZDiscriminator()
+            else:
+                from pase_tpu.adversarial import WaveDiscriminator
+                self._d_module = WaveDiscriminator()
 
         self._tx = None
         self._train_step = None
@@ -140,7 +146,11 @@ class Trainer:
         d_params = d_bs = d_opt = None
         if self._d_module is not None:
             import optax as _optax
-            fake = jnp.zeros((2, self.chunk_size, 1))
+            if self.gan_cfg.get("type", "wave") == "z":
+                fake = jnp.zeros((2, self.chunk_size // self.hop,
+                                  self.model_emb_dim))
+            else:
+                fake = jnp.zeros((2, self.chunk_size, 1))
             dv = self._d_module.init(k_init, fake, train=False)
             d_params = dv["params"]
             d_bs = dv.get("batch_stats", {})
@@ -172,6 +182,7 @@ class Trainer:
             gan_worker = gan_cfg.get("worker", "cchunk")
             gan_loss = gan_cfg.get("loss", "LSGAN")
             gan_weight = gan_cfg.get("weight", 1.0)
+            gan_type = gan_cfg.get("type", "wave")
 
         def mgda_alpha(params, batch_stats, batch, k_sample, k_drop, alpha):
             """Per-worker MGDA-UB weights: jacrev of the loss vector w.r.t.
@@ -234,12 +245,13 @@ class Trainer:
                     # generator objective: D(fake) should look real; D
                     # params are a closed-over constant inside loss_fn so
                     # only the generator receives these gradients
-                    fake = preds[gan_worker]
+                    fake = chunk if gan_type == "z" else preds[gan_worker]
                     d_vars = {"params": state.d_params,
                               "batch_stats": state.d_batch_stats}
                     d_on_fake = d_module.apply(d_vars, fake, train=False)
                     gl = g_loss_fn(d_on_fake, gan_loss)
-                    losses[f"{gan_worker}_g"] = gl
+                    name_g = "z_g" if gan_type == "z" else f"{gan_worker}_g"
+                    losses[name_g] = gl
                     total = total + gan_weight * gl
                 losses["total"] = total
                 return total, (losses, ups.get("batch_stats", {}),
@@ -254,7 +266,11 @@ class Trainer:
             d_params, d_bs, d_opt = (state.d_params, state.d_batch_stats,
                                      state.d_opt_state)
             if gan_cfg is not None:
-                real = batch["cchunk"][..., None]
+                if gan_type == "z":
+                    real = jax.random.normal(jax.random.fold_in(rng, 3),
+                                             fake.shape)
+                else:
+                    real = batch["cchunk"][..., None]
                 fake_sg = jax.lax.stop_gradient(fake)
 
                 def d_objective(dp):

@@ -122,3 +122,35 @@ def test_gan_loss_autodetect():
     assert tr.meta["regr"][0]["loss_weight"] == 0.0
     state = tr.init_state(0)
     assert state.d_params is not None
+
+
+def test_z_adversarial_step():
+    """Latent prior regularizer (ZAdversarialLoss semantics): D on
+    embeddings vs N(0,1); G pushes PASE(chunk) toward the prior."""
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.parallel.mesh import get_mesh, shard_batch
+    workers = {
+        "regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                  "hidden_layers": 1, "name": "mfcc", "r": 1,
+                  "loss": "MSELoss", "skip": False}],
+        "cls": [],
+    }
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    cfg = dict(backprop_mode="base", hop=160, bpe=1, epoch=1, batch_size=8,
+               chunk_size=4800, log_freq=1, save_path="/tmp/pase_zgan")
+    tr = Trainer(fe, workers, cfg, mesh=get_mesh(),
+                 gan_cfg={"type": "z", "loss": "BCE", "lr": 5e-4,
+                          "weight": 0.1})
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    b = iter(SyntheticChunkBatcher(8, 4800, seed=0))
+    for _ in range(2):
+        raw = shard_batch({k: jnp.asarray(v) for k, v in next(b).items()},
+                          tr.mesh)
+        state, losses = step(state, raw)
+    l = jax.device_get(losses)
+    assert "z_g" in l and "d_loss" in l
+    for k, v in l.items():
+        assert np.isfinite(float(v)), k

@@ -196,3 +196,30 @@ def test_pase_v01_config_end_to_end():
     assert feature_dim_for_worker("mfcc", {"der_order": 0,
                                            "order": 20}) == 20
     assert feature_dim_for_worker("prosody", {"der_order": 0}) == 4
+
+
+def test_overlap_worker_with_distortions():
+    """'overlap' cls worker learns the frame overlap mask produced by
+    the on-device SimpleAdditiveShift distortion."""
+    workers = {
+        "regr": [],
+        "cls": [
+            {"num_outputs": 1, "dropout": 0, "hidden_size": 32,
+             "hidden_layers": 1, "name": "overlap",
+             "loss": "BCEWithLogitsLoss", "skip": False},
+        ],
+    }
+    cfg = dict(backprop_mode="base", hop=160, bpe=1, epoch=1, batch_size=8,
+               chunk_size=4800, log_freq=1, save_path="/tmp/pase_ovl")
+    dcfg = DistortionConfig(overlap_p=0.7)
+    tr = Trainer(SMALL_FRONTEND, workers, cfg, dist_cfg=dcfg,
+                 dist_assets=_synth_assets(4800), mesh=get_mesh())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    from pase_tpu.parallel.mesh import shard_batch
+    b = iter(SyntheticChunkBatcher(8, 4800, seed=0))
+    for _ in range(2):
+        raw = shard_batch({k: jnp.asarray(v) for k, v in next(b).items()},
+                          tr.mesh)
+        state, losses = step(state, raw)
+    assert np.isfinite(float(losses["overlap"]))
