@@ -413,14 +413,26 @@ def lpc(wav, order=25, hop=160, win=320, **_):
 # registry / worker-name dispatch (mirrors train.py:37-136)
 # ---------------------------------------------------------------------------
 
+def _kaldimfcc(*a, **k):
+    from pase_tpu.ops.kaldi_feats import kaldi_mfcc
+    return kaldi_mfcc(*a, **k)
+
+
+def _kaldiplp(*a, **k):
+    from pase_tpu.ops.kaldi_feats import kaldi_plp
+    return kaldi_plp(*a, **k)
+
+
+# NOTE: dict order matters for substring dispatch (kaldimfcc before mfcc)
 _FEATURE_BUILDERS = {
     "lps": lps,
     "fbank": fbanks,
     "gtn": gammatone,
+    "kaldimfcc": _kaldimfcc,   # featbin reimplementation (SURVEY §2.9)
+    "kaldiplp": _kaldiplp,
     "mfcc": mfcc,
     "prosody": prosody,
     "lpc": lpc,
-    "kaldimfcc": mfcc,   # JAX reimplementation (SURVEY §2.9 featbin note)
 }
 
 
@@ -452,6 +464,10 @@ def feature_dim_for_worker(name: str, transform_cfg: Optional[dict] = None,
         return cfg.get("n_filters", 40) * mult
     if "gtn" in name:
         return cfg.get("n_channels", 40) * mult
+    if "kaldimfcc" in name:
+        return cfg.get("num_ceps", 13) * mult
+    if "kaldiplp" in name:
+        return cfg.get("num_ceps", 20) * mult
     if "mfcc" in name:
         return cfg.get("order", 13) * mult
     if "prosody" in name:

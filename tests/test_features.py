@@ -151,3 +151,36 @@ def test_lpc_dispatch():
     y = fn(jnp.zeros((1, 4800)))
     assert y.shape == (1, 30, 11)
     assert F.feature_dim_for_worker("lpc", {"order": 10}) == 11
+
+
+def test_kaldi_mfcc():
+    x = _tone(440, t=16000)
+    from pase_tpu.ops.kaldi_feats import kaldi_mfcc
+    y = np.asarray(kaldi_mfcc(jnp.asarray(x), der_order=2))
+    assert y.shape == (2, 100, 39)
+    assert np.all(np.isfinite(y))
+    y2 = np.asarray(kaldi_mfcc(jnp.asarray(_tone(2000, t=16000)),
+                               der_order=2))
+    # different tones -> clearly different cepstra
+    assert np.abs(y[0, 50, :13] - y2[0, 50, :13]).max() > 1.0
+
+
+def test_kaldi_plp():
+    x = _tone(300, t=16000)
+    from pase_tpu.ops.kaldi_feats import kaldi_plp
+    y = np.asarray(kaldi_plp(jnp.asarray(x)))
+    assert y.shape == (2, 100, 20)
+    assert np.all(np.isfinite(y))
+
+
+def test_kaldi_dispatch():
+    fn = F.feature_fn_for_worker("kaldimfcc", {"num_ceps": 13})
+    y = fn(jnp.zeros((1, 4800)))
+    assert y.shape == (1, 30, 39)
+    assert F.feature_dim_for_worker("kaldimfcc", {"num_ceps": 13}) == 39
+    fnp = F.feature_fn_for_worker("kaldiplp", {"num_ceps": 20,
+                                               "der_order": 0})
+    yp = fnp(jnp.zeros((1, 4800)))
+    assert yp.shape == (1, 30, 20)
+    assert F.feature_dim_for_worker("kaldiplp",
+                                    {"num_ceps": 20, "der_order": 0}) == 20
