@@ -85,11 +85,12 @@ def bench_ours():
             for nb, _ in zip(batcher, range(4))]
     for i in range(N_WARM):
         state, losses = step(state, raws[i % len(raws)])
-    jax.block_until_ready(losses["total"])
+    float(jax.device_get(losses["total"]))  # hard sync (block_until_ready
+    # can return early on the experimental axon backend)
     t0 = time.time()
     for i in range(N_MEAS):
         state, losses = step(state, raws[i % len(raws)])
-    jax.block_until_ready(losses["total"])
+    float(jax.device_get(losses["total"]))
     dt = (time.time() - t0) / N_MEAS
     return 1.0 / dt
 

@@ -60,10 +60,11 @@ def main():
     meta = parse_workers_cfg(workers)
     stats = compute_stats(SyntheticChunkBatcher(8, t, seed=11), meta,
                           max_batches=4)
+    # poly-LR horizon (epoch*bpe) set to 4x the run so lr stays healthy
     cfg = dict(backprop_mode="base", hop=160, bpe=50,
-               epoch=max(opts.steps // 50, 1), batch_size=b, chunk_size=t,
-               log_freq=50, fe_lr=1e-3, min_lr=1e-3, lr_mode="poly",
-               save_path="/tmp/learning_check")
+               epoch=max(opts.steps * 4 // 50, 1), batch_size=b,
+               chunk_size=t, log_freq=50, fe_lr=1e-3, min_lr=1e-3,
+               lr_mode="poly", save_path="/tmp/learning_check")
     tr = Trainer(fe, workers, cfg, stats=stats, mesh=get_mesh())
     state = tr.init_state(0)
     step = tr._make_train_step()

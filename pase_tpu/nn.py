@@ -84,10 +84,13 @@ class BatchNorm1d(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,)))
         if train:
-            # stats always in f32 (bf16 means over B*T lose precision)
+            # stats always in f32 (bf16 means over B*T lose precision);
+            # single-pass E[x^2]-E[x]^2 so the (large, 16 kHz) activation
+            # is read once
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 1))
-            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1))
+            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1))
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             n = x.shape[0] * x.shape[1]
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
