@@ -22,9 +22,28 @@ Public API mirrors the reference (see /root/reference):
 from pase_tpu.version import __version__
 from pase_tpu.frontend import WaveFe, wf_builder, Encoder
 
+
+def __getattr__(name):
+    # lazy submodule-level conveniences (avoid importing the trainer stack
+    # for encoder-only users)
+    if name == "PASE":
+        from pase_tpu.model import PASE
+        return PASE
+    if name == "build_pase":
+        from pase_tpu.model import build_pase
+        return build_pase
+    if name == "Trainer":
+        from pase_tpu.trainer import Trainer
+        return Trainer
+    raise AttributeError(name)
+
+
 __all__ = [
     "__version__",
     "WaveFe",
     "wf_builder",
     "Encoder",
+    "PASE",
+    "build_pase",
+    "Trainer",
 ]
