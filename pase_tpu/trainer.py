@@ -210,6 +210,7 @@ class Trainer:
 
         from pase_tpu.precision import compute_dtype, resolve
         cdt = resolve(self.cfg.get("compute_dtype"))
+        log_grads = bool(self.cfg.get("log_grad_norms", False))
 
         def train_step(state: TrainState, raw_batch):
             # trace-time mixed-precision policy (bf16 MXU passes, f32
@@ -260,6 +261,13 @@ class Trainer:
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params)
             losses, new_bs, alpha_next, new_pstate, fake = aux
+            if log_grads:
+                # per-component grad norms (reference get_grad_norms
+                # observability, pase/utils.py:188-203)
+                for comp, sub in grads.items():
+                    flat = jnp.concatenate(
+                        [jnp.ravel(g) for g in jax.tree.leaves(sub)])
+                    losses[f"grad_norm/{comp}"] = jnp.linalg.norm(flat)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
 
