@@ -228,3 +228,45 @@ def test_overlap_worker_with_distortions():
                           tr.mesh)
         state, losses = step(state, raw)
     assert np.isfinite(float(losses["overlap"]))
+
+
+def test_data_parallel_grads_match_single_device():
+    """Batch-sharded DP must produce the same update as unsharded
+    execution (XLA's implicit gradient reduction over the mesh)."""
+    from pase_tpu.model import build_pase, worker_losses
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    model, meta = build_pase(SMALL_FRONTEND, SMALL_WORKERS)
+    rng = jax.random.PRNGKey(0)
+    b = iter(SyntheticChunkBatcher(8, 4800, seed=7))
+    raw = {k: jnp.asarray(v) for k, v in next(b).items()}
+    from pase_tpu.ops.features import mfcc, prosody
+    batch = dict(raw)
+    batch["cchunk"] = raw["chunk"]
+    batch["mfcc"] = mfcc(raw["chunk"])[:, :, :39]
+    batch["prosody"] = prosody(raw["chunk"])[:, :, :12]
+    variables = model.init({"params": rng, "sample": rng}, batch,
+                           train=False)
+
+    def loss_fn(params, bb):
+        (h, c, preds, labels), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            bb, 1.0, train=True, rngs={"sample": rng},
+            mutable=["batch_stats"])
+        losses = worker_losses(meta, preds, labels)
+        return losses["mfcc"] + losses["prosody"] + losses["mi"]
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    # single device
+    g1 = jax.device_get(grad_fn(variables["params"], batch))
+    # 8-way batch sharding
+    mesh = get_mesh()
+    sharded = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+               for k, v in batch.items()}
+    params_rep = jax.device_put(variables["params"],
+                                NamedSharding(mesh, P()))
+    g8 = jax.device_get(grad_fn(params_rep, sharded))
+    flat1 = jax.tree.leaves(g1)
+    flat8 = jax.tree.leaves(g8)
+    for a, c in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=5e-5, rtol=5e-4)
