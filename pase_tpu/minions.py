@@ -54,6 +54,10 @@ class MLPMinion(nn.Module):
     dropout: float = 0.0
     dropout_time: float = 0.0
     dropin: float = 0.0
+    dropin_mode: str = "std"
+    ratio_fixed: Any = None
+    range_fixed: Any = None
+    drop_channels: bool = False
     r: int = 1
     skip: bool = True
 
@@ -71,6 +75,10 @@ class MLPMinion(nn.Module):
             h = MLPBlock(self.hidden_size, context=ctx,
                          tie_context_weights=self.tie_context_weights,
                          din=self.dropin, dout=self.dropout,
+                         dropin_mode=self.dropin_mode,
+                         ratio_fixed=self.ratio_fixed,
+                         range_fixed=self.range_fixed,
+                         drop_channels=self.drop_channels,
                          name=f"blocks_{i}")(h, train=train)
             ctx = 1
         pad = ctx // 2

@@ -28,6 +28,7 @@ from pase_tpu.losses import make_loss
 _MINION_FIELDS = {
     "mlp": ("num_outputs", "hidden_size", "hidden_layers", "context",
             "tie_context_weights", "dropout", "dropout_time", "dropin",
+            "dropin_mode", "ratio_fixed", "range_fixed", "drop_channels",
             "r", "skip"),
     "decoder": ("num_outputs", "fmaps", "strides", "kwidths", "hidden_size",
                 "hidden_layers", "dropout", "dropout_time", "norm_type",

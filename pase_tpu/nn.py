@@ -472,6 +472,55 @@ class VQEMA(nn.Module):
         return loss, q, pp, enc
 
 
+class PatternedDropout(nn.Module):
+    """Dropout restricted to a fixed channel subset for the whole training
+    session (modules.py:407-525): 'fixed_rand' drops only a random-at-init
+    subset of ratio_fixed*emb channels; 'fixed_given' a beg:end range;
+    'std' is plain dropout. drop_whole_channels zeroes whole channels per
+    sample instead of per (sample, time)."""
+    emb_size: int
+    p: float = 0.5
+    dropout_mode: str = "fixed_rand"
+    ratio_fixed: Optional[float] = None
+    range_fixed: Optional[str] = None
+    drop_whole_channels: bool = False
+    seed: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.p <= 0 or not train:
+            return x
+        if self.dropout_mode == "std":
+            return nn.Dropout(self.p, deterministic=False)(x)
+        if self.dropout_mode == "fixed_rand":
+            assert self.ratio_fixed is not None
+            n_drop = int(self.emb_size - self.emb_size * self.ratio_fixed)
+            rng = np.random.RandomState(self.seed)
+            sel = np.sort(rng.choice(self.emb_size, size=n_drop,
+                                     replace=False))
+        elif self.dropout_mode == "fixed_given":
+            beg, end = (int(v) for v in self.range_fixed.split(":")[:2])
+            sel = np.setdiff1d(np.arange(self.emb_size),
+                               np.arange(beg, end))
+        else:
+            raise ValueError(self.dropout_mode)
+        chan_mask = np.zeros((self.emb_size,), np.float32)
+        chan_mask[sel] = 1.0
+        chan_mask = jnp.asarray(chan_mask)           # 1 = droppable
+        key = self.make_rng("dropout")
+        scale = 1.0 / (1.0 - self.p)
+        if self.drop_whole_channels:
+            keep = jax.random.bernoulli(
+                key, 1.0 - self.p, (x.shape[0], 1, self.emb_size))
+        else:
+            keep = jax.random.bernoulli(
+                key, 1.0 - self.p,
+                (x.shape[0], x.shape[1], self.emb_size))
+        factor = jnp.where(chan_mask > 0,
+                           keep.astype(x.dtype) * scale, 1.0)
+        return x * factor
+
+
 class MLPBlock(nn.Module):
     """1x1(/context) conv + PReLU + dropout head block (modules.py:527-556)."""
     fmaps: int
@@ -479,12 +528,21 @@ class MLPBlock(nn.Module):
     tie_context_weights: bool = False
     dout: float = 0.0
     din: float = 0.0
+    dropin_mode: str = "std"
+    ratio_fixed: Optional[float] = None
+    range_fixed: Optional[str] = None
+    drop_channels: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.context % 2 != 0, self.context
         if self.din > 0 and train:
-            x = nn.Dropout(self.din, deterministic=False)(x)
+            x = PatternedDropout(emb_size=x.shape[-1], p=self.din,
+                                 dropout_mode=self.dropin_mode,
+                                 ratio_fixed=self.ratio_fixed,
+                                 range_fixed=self.range_fixed,
+                                 drop_whole_channels=self.drop_channels,
+                                 name="din")(x, train=train)
         if self.tie_context_weights:
             h = Conv1D(self.fmaps, 1, name="W")(x)
             # avg-pool over context, stride 1, count_include_pad=False

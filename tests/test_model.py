@@ -140,3 +140,34 @@ def test_decoder_minion_parity(ref):
     y = np.asarray(m.apply(variables, jnp.asarray(x.transpose(0, 2, 1))))
     assert y.transpose(0, 2, 1).shape == y_ref.shape
     np.testing.assert_allclose(y.transpose(0, 2, 1), y_ref, atol=2e-5)
+
+
+def test_patterned_dropout():
+    from pase_tpu.nn import PatternedDropout
+    import jax
+    x = jnp.ones((2, 10, 16))
+    m = PatternedDropout(emb_size=16, p=0.5, dropout_mode="fixed_given",
+                         range_fixed="4:12")
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    y = np.asarray(m.apply(v, x, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)}))
+    # protected range 4:12 untouched
+    np.testing.assert_allclose(y[..., 4:12], 1.0)
+    outside = y[..., list(range(4)) + list(range(12, 16))]
+    assert set(np.unique(outside.round(4))) <= {0.0, 2.0}
+    # eval mode = identity
+    ye = np.asarray(m.apply(v, x, train=False))
+    np.testing.assert_allclose(ye, 1.0)
+
+
+def test_mlp_minion_with_dropin():
+    from pase_tpu.minions import MLPMinion
+    import jax
+    m = MLPMinion(num_outputs=4, hidden_size=8, hidden_layers=1,
+                  dropin=0.3, dropin_mode="fixed_rand", ratio_fixed=0.5)
+    x = jnp.ones((2, 10, 16))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    y = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert y.shape == (2, 10, 4)
