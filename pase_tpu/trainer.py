@@ -133,6 +133,20 @@ class Trainer:
             prepared, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        # warm-start the frontend from a pretrained encoder checkpoint
+        # (reference pase(pretrained_ckpt=...), pase.py:307-308)
+        pre = self.cfg.get("pretrained_ckpt")
+        if pre:
+            from pase_tpu.checkpoint import load_frontend_ckpt
+            from flax.core import unfreeze
+            fe_vars = {"params": variables["params"]["frontend"],
+                       "batch_stats": batch_stats.get("frontend", {})}
+            loaded = load_frontend_ckpt(pre, None, fe_vars, load_last=True)
+            params = unfreeze(params)
+            params["frontend"] = loaded["params"]
+            if "batch_stats" in loaded and loaded["batch_stats"]:
+                batch_stats = unfreeze(batch_stats)
+                batch_stats["frontend"] = loaded["batch_stats"]
         self._tx, self._scheds = build_optimizer(
             params,
             fe_opt=self.cfg.get("fe_opt", "Adam"),

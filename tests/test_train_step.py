@@ -270,3 +270,30 @@ def test_data_parallel_grads_match_single_device():
     for a, c in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=5e-5, rtol=5e-4)
+
+
+def test_pretrained_ckpt_warm_start(tmp_path):
+    """cfg['pretrained_ckpt'] initializes the frontend from a saved
+    encoder artifact (reference pase(pretrained_ckpt=...))."""
+    tr = _trainer()
+    tr.save_path = str(tmp_path)
+    state = tr.init_state(0)
+    from pase_tpu.checkpoint import save_variables
+    host = jax.device_get(state)
+    fe_vars = {"params": host.params["frontend"],
+               "batch_stats": host.batch_stats.get("frontend", {})}
+    ck = str(tmp_path / "FE_e0.npz")
+    save_variables(ck, fe_vars, 0)
+    cfg2 = dict(tr.cfg)
+    cfg2["pretrained_ckpt"] = ck
+    tr2 = Trainer(SMALL_FRONTEND, SMALL_WORKERS, cfg2, mesh=get_mesh())
+    state2 = tr2.init_state(seed=1)   # different seed, loaded frontend
+    a = np.asarray(jax.device_get(
+        state.params["frontend"]["blocks_1"]["conv"]["kernel"]))
+    b = np.asarray(jax.device_get(
+        state2.params["frontend"]["blocks_1"]["conv"]["kernel"]))
+    np.testing.assert_allclose(a, b)
+    # worker heads differ (fresh init with seed 1)
+    wa = np.asarray(jax.device_get(state.params["mfcc"]["W"]["kernel"]))
+    wb = np.asarray(jax.device_get(state2.params["mfcc"]["W"]["kernel"]))
+    assert np.abs(wa - wb).max() > 1e-4
