@@ -171,3 +171,41 @@ def test_mlp_minion_with_dropin():
                 "dropout": jax.random.PRNGKey(1)}, x, train=True)
     y = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
     assert y.shape == (2, 10, 4)
+
+
+def test_gru_minion():
+    from pase_tpu.minions import GRUMinion
+    import jax
+    m = GRUMinion(num_outputs=5, hidden_size=16, hidden_layers=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 12, 8)
+                    .astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 12, 5)
+
+
+def test_spc_minion_shapes():
+    from pase_tpu.minions import SPCMinion
+    import jax
+    m = SPCMinion(num_outputs=1, hidden_size=16, hidden_layers=1,
+                  ctxt_frames=5, seq_pad=16)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 100, 8)
+                    .astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "sample": jax.random.PRNGKey(1)}, x)
+    y = m.apply(v, x, rngs={"sample": jax.random.PRNGKey(2)})
+    assert y.shape == (6, 1, 1)   # pos batch + neg batch
+
+
+def test_gap_minion_labels():
+    from pase_tpu.minions import GapMinion
+    import jax
+    m = GapMinion(num_outputs=1, hidden_size=16, hidden_layers=1)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 50, 8)
+                    .astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "sample": jax.random.PRNGKey(1)}, x)
+    y, dists = m.apply(v, x, rngs={"sample": jax.random.PRNGKey(2)})
+    assert y.shape == (4, 1, 1)
+    d = np.asarray(dists).reshape(-1)
+    assert np.all((d >= 0) & (d <= 1))
