@@ -96,15 +96,18 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
 def compute_stats(batcher, workers_meta, hop: int = 160,
                   max_batches: int = 20, random_scale: bool = False,
                   seed: int = 0):
-    """Stream up to max_batches batches, accumulate per-key mean-of-means
-    and mean-of-stds over (B, T) — the reference stats pkl schema:
-    {key: {'mean': [D], 'std': [D]}}."""
+    """Stream up to max_batches batches and reproduce the reference stats
+    pkl EXACTLY (make_trainset_statistics.py:98-104):
+      mean[d] = mean over samples of the per-sample temporal mean
+      std[d]  = STD over samples of the per-sample temporal std
+                (unbiased, torch.std default)
+    Schema: {key: {'mean': [D], 'std': [D]}}."""
     prepare = make_prepare_fn(workers_meta, stats=None, dist_cfg=None,
                               assets=None, hop=hop,
                               random_scale=random_scale)
     prepare_j = jax.jit(prepare)
     rng = jax.random.PRNGKey(seed)
-    sums = {}
+    per_sample = {}
     for bi, batch in enumerate(batcher):
         if bi >= max_batches:
             break
@@ -113,16 +116,15 @@ def compute_stats(batcher, workers_meta, hop: int = 160,
         for k, v in dev.items():
             if v.ndim != 3 or k in ("chunk", "cchunk"):
                 continue
-            m = np.asarray(jnp.mean(v, axis=(0, 1)))
-            s = np.asarray(jnp.std(v, axis=(0, 1)))
-            if k not in sums:
-                sums[k] = ([], [])
-            sums[k][0].append(m)
-            sums[k][1].append(s)
+            m = np.asarray(jnp.mean(v, axis=1))               # [B, D]
+            s = np.asarray(jnp.std(v, axis=1, ddof=1))        # [B, D]
+            per_sample.setdefault(k, ([], []))
+            per_sample[k][0].append(m)
+            per_sample[k][1].append(s)
     stats = {}
-    for k, (ms, ss) in sums.items():
-        stats[k] = {"mean": np.mean(np.stack(ms), axis=0),
-                    "std": np.mean(np.stack(ss), axis=0)}
+    for k, (ms, ss) in per_sample.items():
+        stats[k] = {"mean": np.concatenate(ms).mean(axis=0),
+                    "std": np.concatenate(ss).std(axis=0, ddof=1)}
     return stats
 
 

@@ -168,3 +168,37 @@ def test_genhancement_dataset(corpus, tmp_path):
     ds = GenhancementDataset(root, str(clean), cfg, "train")
     noisy, cl, rnd = ds.sample_tuple(1)
     np.testing.assert_allclose(noisy, cl)  # identical trees here
+
+
+def test_compute_stats_matches_reference_semantics():
+    """stats pkl: mean of per-sample temporal means; STD of per-sample
+    temporal stds (make_trainset_statistics.py:98-104, torch unbiased)."""
+    import torch
+    import jax
+    from pase_tpu.data.pipeline import compute_stats
+    from pase_tpu.model import parse_workers_cfg
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.data.pipeline import make_prepare_fn
+    import jax.numpy as jnp
+
+    workers = {"regr": [{"num_outputs": 39, "hidden_size": 8,
+                         "hidden_layers": 1, "name": "mfcc", "r": 1,
+                         "loss": "MSELoss", "dropout": 0}], "cls": []}
+    meta = parse_workers_cfg(workers)
+    stats = compute_stats(SyntheticChunkBatcher(4, 4800, seed=2), meta,
+                          max_batches=3, seed=7)
+    # reproduce with torch on the same prepared features
+    prep = make_prepare_fn(meta)
+    rng = jax.random.PRNGKey(7)
+    feats = []
+    b = iter(SyntheticChunkBatcher(4, 4800, seed=2))
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        out = prep({k: jnp.asarray(v) for k, v in next(b).items()}, sub)
+        feats.append(np.asarray(out["mfcc"]))
+    v = torch.tensor(np.concatenate(feats)).transpose(1, 2)  # [N, D, T]
+    ref_mean = torch.mean(torch.mean(v, dim=2), dim=0).numpy()
+    ref_std = torch.std(torch.std(v, dim=2), dim=0).numpy()
+    np.testing.assert_allclose(stats["mfcc"]["mean"], ref_mean, atol=1e-4)
+    np.testing.assert_allclose(stats["mfcc"]["std"], ref_std, atol=1e-4,
+                               rtol=1e-3)

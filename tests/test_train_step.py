@@ -79,24 +79,27 @@ def _trainer(mode="base", dist=False, chunk=4800, batch=8, stats=None):
 
 
 def test_train_step_runs_and_learns():
+    # reference-semantics ZNorm (std-of-stds) scales targets up ~7x, so
+    # use a higher lr to see learning within the test budget
     tr = _trainer(stats=_stats())
+    tr.cfg["fe_lr"] = tr.cfg["min_lr"] = 3e-3
     state = tr.init_state(0)
     step = tr._make_train_step()
     batcher = iter(SyntheticChunkBatcher(8, 4800, seed=3))
     from pase_tpu.parallel.mesh import shard_batch
     tots, regr = [], []
-    for i in range(40):
+    for i in range(60):
         raw = shard_batch({k: jnp.asarray(v) for k, v in
                            next(batcher).items()}, tr.mesh)
         state, losses = step(state, raw)
         tots.append(float(losses["total"]))
         regr.append(float(losses["mfcc"]) + float(losses["prosody"]))
     assert np.all(np.isfinite(tots))
-    # regression workers must learn within 40 steps (the contrastive mi
-    # loss can transiently rise from random init, so don't gate on total)
-    head, tail = np.mean(regr[:5]), np.mean(regr[-5:])
+    # regression workers must learn (the contrastive mi loss can
+    # transiently rise from random init, so don't gate on total)
+    head, tail = np.mean(regr[:10]), np.mean(regr[-10:])
     assert tail < head, (head, tail, regr)
-    assert int(jax.device_get(state.step)) == 40
+    assert int(jax.device_get(state.step)) == 60
 
 
 def test_train_step_with_distortions():
