@@ -215,6 +215,40 @@ def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
     return freeze(unflatten_dict(flat_ref))
 
 
+def torch_gru_params(state_dict: Dict[str, np.ndarray], prefix: str,
+                     layer: int = 0) -> dict:
+    """Convert one torch nn.GRU layer's weights to a flax GRUCell param
+    dict. torch stacks gates [r|z|n] along dim 0 of weight_ih/weight_hh
+    (each [3H, in]); flax GRUCell keeps six Dense modules ir/iz/in (bias)
+    and hr/hz/hn (hn has bias, hr/hz do not... flax puts the h-side bias
+    on 'hn' only, matching torch's b_hn; torch's b_hr/b_hz are folded
+    into the i-side biases)."""
+    wih = state_dict[f"{prefix}.weight_ih_l{layer}"]
+    whh = state_dict[f"{prefix}.weight_hh_l{layer}"]
+    bih = state_dict.get(f"{prefix}.bias_ih_l{layer}")
+    bhh = state_dict.get(f"{prefix}.bias_hh_l{layer}")
+    h = wih.shape[0] // 3
+    w_ir, w_iz, w_in = wih[:h], wih[h:2 * h], wih[2 * h:]
+    w_hr, w_hz, w_hn = whh[:h], whh[h:2 * h], whh[2 * h:]
+    out = {
+        "ir": {"kernel": w_ir.T}, "iz": {"kernel": w_iz.T},
+        "in": {"kernel": w_in.T},
+        "hr": {"kernel": w_hr.T}, "hz": {"kernel": w_hz.T},
+        "hn": {"kernel": w_hn.T},
+    }
+    if bih is not None:
+        b_ir, b_iz, b_in = bih[:h], bih[h:2 * h], bih[2 * h:]
+        b_hr, b_hz, b_hn = bhh[:h], bhh[h:2 * h], bhh[2 * h:]
+        # r = sigmoid(W_ir x + b_ir + W_hr h + b_hr): flax has one bias on
+        # the i-side Dense -> fold torch's two biases together
+        out["ir"]["bias"] = b_ir + b_hr
+        out["iz"]["bias"] = b_iz + b_hz
+        out["in"]["bias"] = b_in
+        out["hn"]["bias"] = b_hn
+    return {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            for k, v in out.items()}
+
+
 def load_frontend_ckpt(path: str, module, variables, load_last: bool = True,
                        verbose: bool = False):
     """Load a frontend checkpoint from native .npz or torch .ckpt."""

@@ -209,3 +209,27 @@ def test_gap_minion_labels():
     assert y.shape == (4, 1, 1)
     d = np.asarray(dists).reshape(-1)
     assert np.all((d >= 0) & (d <= 1))
+
+
+def test_torch_gru_conversion(ref):
+    """torch nn.GRU weights -> flax GRUCell: sequence outputs match."""
+    import torch
+    from flax import linen as fnn
+    from pase_tpu.checkpoint import torch_gru_params
+    torch.manual_seed(0)
+    gru = torch.nn.GRU(6, 10, num_layers=1, batch_first=True)
+    x = np.random.RandomState(0).randn(2, 15, 6).astype(np.float32)
+    with torch.no_grad():
+        y_ref, _ = gru(torch.tensor(x))
+    sd = {f"g.{k}": v.numpy() for k, v in gru.state_dict().items()}
+    params = torch_gru_params(sd, "g")
+    cell = fnn.GRUCell(features=10)
+    rnn = fnn.RNN(cell)
+    v = rnn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    from flax.core import unfreeze
+    base = unfreeze(v)["params"]["cell"]
+    for k in params:
+        for kk in params[k]:
+            assert base[k][kk].shape == params[k][kk].shape, (k, kk)
+    y = rnn.apply({"params": {"cell": params}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=2e-5)
