@@ -215,6 +215,43 @@ def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
     return freeze(unflatten_dict(flat_ref))
 
 
+def rename_reference_pase_keys(state_dict: Dict[str, np.ndarray],
+                               regr_names, cls_names
+                               ) -> Dict[str, np.ndarray]:
+    """Map a full reference `pase` model state dict (frontend. /
+    regression_workers.{i}. / classification_workers.{i}.minion.) onto our
+    per-worker-name scopes, ready for torch_to_variables."""
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("frontend."):
+            out[k] = v
+        elif k.startswith("regression_workers."):
+            parts = k.split(".")
+            name = regr_names[int(parts[1])]
+            out[name + "." + ".".join(parts[2:])] = v
+        elif k.startswith("classification_workers."):
+            parts = k.split(".")
+            name = cls_names[int(parts[1])]
+            rest = parts[2:]
+            if rest and rest[0] == "minion":
+                rest = rest[1:]
+            out[name + "." + ".".join(rest)] = v
+    return out
+
+
+def load_reference_pase_ckpt(ckpt_path: str, variables, workers_meta,
+                             verbose: bool = False):
+    """Import a full reference multi-task checkpoint (torch state dict of
+    the `pase` model, e.g. a PASE-…ckpt saver file) into our variable
+    tree — enables continuing a reference-trained run on TPU."""
+    sd = _load_torch_state_dict(ckpt_path)
+    regr_names = [e["name"] for e in workers_meta["regr"]]
+    cls_names = [e["name"] for e in workers_meta["cls"]]
+    sd = rename_reference_pase_keys(sd, regr_names, cls_names)
+    return torch_to_variables(sd, variables, load_last=True,
+                              verbose=verbose)
+
+
 def torch_gru_params(state_dict: Dict[str, np.ndarray], prefix: str,
                      layer: int = 0) -> dict:
     """Convert one torch nn.GRU layer's weights to a flax GRUCell param

@@ -14,25 +14,7 @@ PASE_CFG = "/root/reference/cfg/frontend/PASE.cfg"
 WORKERS_CFG = "/root/reference/cfg/workers/workers.cfg"
 
 
-def _rename_torch_keys(sd, regr_names, cls_names):
-    """reference pase state dict (frontend./regression_workers.{i}./
-    classification_workers.{i}.minion.) -> our per-name worker scopes."""
-    out = {}
-    for k, v in sd.items():
-        if k.startswith("frontend."):
-            out["frontend." + k[len("frontend."):]] = v
-        elif k.startswith("regression_workers."):
-            parts = k.split(".")
-            name = regr_names[int(parts[1])]
-            out[name + "." + ".".join(parts[2:])] = v
-        elif k.startswith("classification_workers."):
-            parts = k.split(".")
-            name = cls_names[int(parts[1])]
-            rest = parts[2:]
-            if rest and rest[0] == "minion":
-                rest = rest[1:]
-            out[name + "." + ".".join(rest)] = v
-    return out
+from pase_tpu.checkpoint import rename_reference_pase_keys as _rename_torch_keys
 
 
 def test_full_pase_forward_parity(ref):
@@ -105,3 +87,43 @@ def test_full_pase_forward_parity(ref):
     np.testing.assert_allclose(
         np.asarray(labels["mi"]).transpose(0, 2, 1),
         labels_ref["mi"].numpy())
+
+
+def test_load_reference_pase_ckpt(ref, tmp_path):
+    """Full-run import: a saved reference pase state dict loads into our
+    variable tree through the public helper."""
+    import torch
+    import torch.nn as tnn
+    from pase.models.pase import pase as RefPase
+    from pase.losses import ContextualizedLoss
+    from pase_tpu.model import build_pase
+    from pase_tpu.checkpoint import load_reference_pase_ckpt
+
+    with open(WORKERS_CFG) as f:
+        wcfg = json.load(f)
+    with open(PASE_CFG) as f:
+        fecfg = json.load(f)
+    for group in wcfg.values():
+        for e in group:
+            e.pop("transform", None)
+            e["loss"] = ContextualizedLoss(getattr(tnn, e["loss"])(),
+                                           r=e.get("r"))
+    ref_model = RefPase(frontend_cfg=dict(fecfg), minions_cfg=wcfg)
+    ck = str(tmp_path / "PASE-run.ckpt")
+    torch.save({"step": 1234, "state_dict": ref_model.state_dict()}, ck)
+
+    model, meta = build_pase(PASE_CFG, WORKERS_CFG)
+    B, T = 1, 8000
+    frames = T // 160
+    batch = {k: jnp.zeros((B, T)) for k in
+             ("chunk", "chunk_ctxt", "chunk_rand", "cchunk")}
+    batch.update(lps=jnp.zeros((B, frames, 1025)),
+                 mfcc=jnp.zeros((B, frames, 20)),
+                 prosody=jnp.zeros((B, frames, 4)))
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "sample": key}, batch,
+                           train=False)
+    loaded = load_reference_pase_ckpt(ck, variables, meta)
+    w_ref = ref_model.state_dict()["regression_workers.1.W.weight"].numpy()
+    w_ours = np.asarray(loaded["params"]["lps"]["W"]["kernel"])
+    np.testing.assert_allclose(w_ours.transpose(2, 1, 0), w_ref)
