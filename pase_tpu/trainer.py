@@ -399,6 +399,12 @@ class Trainer:
                                    jax.device_get(losses).items()}
                     gstep = e * bpe + bidx
                     self.logger.log("train", gstep, last_losses)
+                    # NaN guard (the reference's commented-out
+                    # detect_anomaly, train.py:263 — here always on)
+                    if not np.isfinite(last_losses.get("total", 0.0)):
+                        raise FloatingPointError(
+                            f"non-finite total loss at step {gstep}: "
+                            f"{last_losses}")
             dt = time.time() - t0
             sps = bpe / dt
             self.logger.log("perf", (e + 1) * bpe, {
