@@ -68,12 +68,18 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
             rand = norm_and_scale(rand, ks[2])
         cchunk = chunk  # clean copy before distortion
         out = {"chunk_ctxt": ctxt, "chunk_rand": rand, "cchunk": cchunk}
-        # worker targets from the clean chunk
+        # worker targets from the clean chunk; stored in the compute dtype
+        # under a mixed-precision policy (losses re-cast to f32 at the
+        # criterion, so precision of the reduction is unaffected)
+        from pase_tpu.precision import get_compute_dtype
+        cd = get_compute_dtype()
         for name, fn in feat_fns.items():
             feats = fn(cchunk)
             if stats_dev is not None and name in stats_dev:
                 mean, std = stats_dev[name]
                 feats = (feats - mean) / std
+            if cd is not None:
+                feats = feats.astype(cd)
             out[name] = feats
         # distort the encoder input
         overlap = jnp.zeros((b, t // hop))

@@ -68,17 +68,19 @@ def make_loss(name: str, r: Optional[int] = None,
     base = _LOSSES[name]
 
     def loss_fn(pred, target):
-        # reductions always in f32 (bf16 means over millions of elements
-        # lose precision under the mixed-precision policy)
+        # frame in the native (possibly bf16) dtype, cast to f32 at the
+        # elementwise criterion (the cast fuses into the subtraction, so
+        # the r-framed tensor is never materialized in f32); reductions
+        # always f32 for precision
+        if r is not None and r > 1 and not streaming:
+            target = contextualize_r(target, r)
         if pred.dtype != jnp.float32:
             pred = pred.astype(jnp.float32)
         if hasattr(target, "dtype") and target.dtype != jnp.float32 and \
                 jnp.issubdtype(target.dtype, jnp.floating):
             target = target.astype(jnp.float32)
-        if r is None or r <= 1:
+        if r is None or r <= 1 or not streaming:
             return base(pred, target)
-        if not streaming:
-            return base(pred, contextualize_r(target, r))
         b, t, dr = pred.shape
         d = dr // r
         p = pred.reshape(b, t, d, r)

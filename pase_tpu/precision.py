@@ -38,4 +38,5 @@ def resolve(name):
         return None
     if name in ("bfloat16", "bf16"):
         return jnp.bfloat16
-    raise ValueError(name)
+    raise ValueError(f"Unknown compute_dtype {name!r}: "
+                     "expected 'float32'/'f32' or 'bfloat16'/'bf16'")

@@ -56,6 +56,8 @@ class Trainer:
                  mesh=None, name="Pase_base", gan_cfg=None):
         self.cfg = dict(cfg)
         self.name = name
+        from pase_tpu.precision import resolve as _resolve_dtype
+        _resolve_dtype(self.cfg.get("compute_dtype"))  # fail fast on typos
         self.model, self.meta = build_pase(
             frontend_cfg, workers_cfg, att_cfg=cfg.get("att_cfg"),
             chunking_K=cfg.get("chunking_K"))
