@@ -35,6 +35,9 @@ def __getattr__(name):
     if name == "Trainer":
         from pase_tpu.trainer import Trainer
         return Trainer
+    if name == "StreamingEncoder":
+        from pase_tpu.streaming import StreamingEncoder
+        return StreamingEncoder
     raise AttributeError(name)
 
 
@@ -46,4 +49,5 @@ __all__ = [
     "PASE",
     "build_pase",
     "Trainer",
+    "StreamingEncoder",
 ]

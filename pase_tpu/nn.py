@@ -294,7 +294,13 @@ def apply_activation(act, module_out):
 
 
 class FeBlock(nn.Module):
-    """pad -> conv/sinc -> norm -> activation (modules.py:1014-1077)."""
+    """pad -> conv/sinc -> norm -> activation (modules.py:1014-1077).
+
+    ``do_pad=False`` skips the internal SAME padding (the conv runs VALID)
+    so a caller can manage time context explicitly — used by the streaming
+    inference path (pase_tpu.streaming), which feeds pre-buffered context.
+    The parameter tree is identical either way (flax fields are static).
+    """
     fmaps: int
     kwidth: int
     stride: int
@@ -304,16 +310,18 @@ class FeBlock(nn.Module):
     norm_type: Optional[str] = "bnorm"
     sincnet: bool = False
     sr: int = 16000
+    do_pad: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         wfmaps = 2 * self.fmaps if self.act == "glu" else self.fmaps
         if self.sincnet:
             h = SincConv(wfmaps, self.kwidth, self.stride,
-                         sample_rate=self.sr, padding="SAME",
+                         sample_rate=self.sr,
+                         padding="SAME" if self.do_pad else "VALID",
                          pad_mode=self.pad_mode, name="conv")(x)
         else:
-            if self.kwidth > 1:
+            if self.kwidth > 1 and self.do_pad:
                 x = pad_1d(x, feblock_pad(self.kwidth, self.stride,
                                           self.dilation), self.pad_mode)
             h = Conv1D(wfmaps, self.kwidth, self.stride, self.dilation,

@@ -1,0 +1,367 @@
+"""Streaming (stateful, chunk-by-chunk) encoder inference.
+
+The reference has no streaming API — ``util_scripts/forward_chunk.py``
+re-forwards overlapping windows and the encoder itself is always applied
+to a whole utterance (/root/reference/util_scripts/forward_chunk.py,
+frontend.py:234-279). Because the WaveFe trunk is causal-izable (convs
+with bounded receptive field + a unidirectional window-2 QRNN), an exact
+online form exists: this module maintains per-layer context FIFOs and the
+QRNN carry so that feeding an utterance in arbitrary chunk sizes yields
+*bit-compatible* outputs with the offline ``Encoder.__call__``.
+
+Mechanics
+---------
+Offline, every conv block applies fixed reflect SAME padding ``(l, r)``
+(ops/pad.py) and a strided VALID conv. Streaming per layer:
+
+* the first ``l`` pad frames are synthesized by reflecting the start of
+  the stream once ``l+1`` real frames have arrived;
+* an input FIFO holds enough trailing frames to (a) provide the
+  ``K_eff - stride`` overlap of the next VALID window and (b) still be
+  able to synthesize the ``r`` right-reflect pad frames at end-of-stream
+  (``flush``), i.e. ``keep = max(K_eff - stride, r + 1)`` frames;
+* ``flush()`` appends the reflected tail and drains the FIFO, so the
+  total per-layer output length equals the offline ``ceil(T/stride)``.
+
+Dense skips are 1x1 projections of intermediate block outputs mean-pool
+downsampled to the final frame rate (frontend.py:213-232) — streamed with
+per-skip pooling FIFOs and a final fuse synchronizer (different blocks
+have different streaming latencies). The QRNN carries ``(x_{t-1}, c_t)``
+across chunks (ops/qrnn.py). BatchNorm eval statistics, PReLU, the 1x1
+``W`` projection, tanh, and VQ nearest-codebook lookup are stateless.
+
+Exactness caveat: when the total stream length is not a multiple of the
+stride product (160), the offline ``fuse_skip`` derives its downsampling
+factor from the realized ratio ``skip_len // y_len`` which can deviate
+from ``prod(strides[i+1:])``; parity is guaranteed for totals divisible
+by the stride product (the natural frame size) and holds in practice for
+any utterance much longer than one frame.
+
+Usage::
+
+    enc = wf_builder('cfg/frontend/PASE+.cfg')
+    enc.load_pretrained('FE_e199.ckpt')
+    stream = StreamingEncoder(enc)
+    for chunk in chunks:              # [B, n] waveform pieces, any sizes
+        y = stream.push(chunk)        # [B, emb, m] (m >= 0) or None
+    y = stream.flush()                # remaining frames
+"""
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pase_tpu.nn import FeBlock, BatchNorm1d, conv1d
+from pase_tpu.ops.pad import pad_1d, feblock_pad, sinc_same_pad
+from pase_tpu.ops.qrnn import qrnn_pool
+
+
+@jax.jit
+def _qrnn_layer(w, b, prev, carry, h):
+    """One chunk through one QRNN layer (jitted; recompiles per shape)."""
+    shifted = jnp.concatenate([prev, h[:, :-1]], axis=1)
+    src = jnp.concatenate([h, shifted], axis=-1)
+    y = src @ w + b
+    h2, c_t = qrnn_pool(y.astype(jnp.float32), c0=carry)
+    return h2, c_t
+
+
+def _tcat(a, b):
+    """Concatenate two optional [B, T, C] frame packets on time."""
+    if a is None or a.shape[1] == 0:
+        return b
+    if b is None or b.shape[1] == 0:
+        return a
+    return jnp.concatenate([a, b], axis=1)
+
+
+class _ConvStream:
+    """Streaming state for one pad->conv block (exact offline semantics)."""
+
+    def __init__(self, apply_fn, kwidth: int, stride: int, dilation: int,
+                 pad, pad_mode: str):
+        self.apply_fn = apply_fn
+        self.stride = stride
+        self.k_eff = (kwidth - 1) * dilation + 1
+        self.l, self.r = pad
+        # trailing frames retained: VALID-window overlap, plus enough true
+        # signal to reflect the right pad at flush
+        self.keep = max(self.k_eff - self.stride, self.r + 1)
+        self.pad_mode = pad_mode
+        self.buf = None
+        self.started = False
+
+    def _emit(self, final: bool):
+        if self.buf is None:
+            return None
+        ln = self.buf.shape[1]
+        if final:
+            n = (ln - self.k_eff) // self.stride + 1 if ln >= self.k_eff else 0
+        else:
+            n = max(0, (ln - self.keep) // self.stride)
+        if n <= 0:
+            return None
+        use = self.buf[:, :(n - 1) * self.stride + self.k_eff]
+        y = self.apply_fn(use)
+        self.buf = self.buf[:, n * self.stride:]
+        return y
+
+    def push(self, x):
+        """x: [B, t, C] new input frames -> [B, m, C'] outputs or None."""
+        if x is None or x.shape[1] == 0:
+            return None
+        self.buf = x if self.buf is None else jnp.concatenate(
+            [self.buf, x], axis=1)
+        if not self.started:
+            if self.l > 0 and self.buf.shape[1] < self.l + 1:
+                return None          # not enough signal to reflect yet
+            if self.l > 0:
+                self.buf = pad_1d(self.buf, (self.l, 0), self.pad_mode)
+            self.started = True
+        return self._emit(final=False)
+
+    def flush(self):
+        if self.buf is None:
+            return None
+        if not self.started:
+            # stream shorter than the left pad: mirror offline behavior by
+            # padding whatever arrived (requires >= 2 frames for reflect)
+            if self.l > 0:
+                self.buf = pad_1d(self.buf, (self.l, 0), self.pad_mode)
+            self.started = True
+        if self.r > 0:
+            if self.pad_mode == "reflect":
+                tail = jnp.flip(self.buf[:, -self.r - 1:-1], axis=1)
+            elif self.pad_mode in ("replicate", "edge"):
+                tail = jnp.repeat(self.buf[:, -1:], self.r, axis=1)
+            else:                     # constant
+                tail = jnp.zeros_like(self.buf[:, :1]).repeat(self.r, axis=1)
+            self.buf = jnp.concatenate([self.buf, tail], axis=1)
+        return self._emit(final=True)
+
+
+class _PoolStream:
+    """Mean-pool downsampler by an integer factor (fuse_skip semantics:
+    trailing frames that do not fill a group are dropped)."""
+
+    def __init__(self, factor: int):
+        self.factor = factor
+        self.buf = None
+
+    def push(self, x):
+        if x is None or x.shape[1] == 0:
+            return None
+        if self.factor == 1:
+            return x
+        self.buf = x if self.buf is None else jnp.concatenate(
+            [self.buf, x], axis=1)
+        n = self.buf.shape[1] // self.factor
+        if n == 0:
+            return None
+        b, _, c = self.buf.shape
+        y = self.buf[:, :n * self.factor].reshape(
+            b, n, self.factor, c).mean(axis=2)
+        self.buf = self.buf[:, n * self.factor:]
+        return y
+
+
+class _QRNNStream:
+    """Window-2 QRNN with cross-chunk (x_{t-1}, c) state (ops/qrnn.py)."""
+
+    def __init__(self, params, layers: int):
+        self.kernels = [(jnp.asarray(params[f"layers_{li}_linear"]["kernel"]),
+                         jnp.asarray(params[f"layers_{li}_linear"]["bias"]))
+                        for li in range(layers)]
+        self.prev: List[Optional[jnp.ndarray]] = [None] * layers
+        self.carry: List[Optional[jnp.ndarray]] = [None] * layers
+
+    def push(self, h):
+        if h is None or h.shape[1] == 0:
+            return None
+        for li, (w, b) in enumerate(self.kernels):
+            prev = self.prev[li]
+            if prev is None:
+                prev = jnp.zeros_like(h[:, :1])
+            h_in = h
+            h, c_t = _qrnn_layer(w, b, prev, self.carry[li], h_in)
+            self.prev[li] = h_in[:, -1:]
+            self.carry[li] = c_t
+        return h
+
+
+class StreamingEncoder:
+    """Exact online form of a WaveFe ``Encoder`` (see module docstring).
+
+    Accepts chunks as [B, t], [B, 1, t] or [t]; emits [B, emb, m] frame
+    packets (reference channel-first layout) or None when no new frame is
+    computable yet. Call ``flush()`` once at end-of-stream.
+    """
+
+    def __init__(self, encoder):
+        from pase_tpu.frontend import WaveFe
+        module = encoder.module
+        if not isinstance(module, WaveFe):
+            raise TypeError("StreamingEncoder supports the WaveFe trunk "
+                            f"(got {type(module).__name__})")
+        if module.norm_type == "inorm" or (
+                module.norm_out and module.norm_type not in (None, "bnorm",
+                                                             "lnorm")):
+            raise NotImplementedError(
+                "InstanceNorm normalizes over the whole utterance and has "
+                "no exact streaming form")
+        if module.resblocks:
+            raise NotImplementedError("resblocks streaming not implemented")
+        self.module = module
+        self.variables = encoder.variables
+        params = self.variables["params"]
+        bstats = self.variables.get("batch_stats", {})
+
+        self.conv_streams: List[_ConvStream] = []
+        nblocks = len(module.kwidths)
+        for i, (kw, st, dil) in enumerate(zip(module.kwidths, module.strides,
+                                              module.dilations)):
+            sinc = module.sincnet and i == 0
+            if sinc:
+                k = kw + 1 if kw % 2 == 0 else kw
+                pad = sinc_same_pad(k, st)
+            else:
+                k = kw
+                pad = feblock_pad(kw, st, dil) if kw > 1 else (0, 0)
+            blk = FeBlock(fmaps=module.fmaps[i], kwidth=kw, stride=st,
+                          dilation=dil, pad_mode=module.pad_mode,
+                          act=module.activation, norm_type=module.norm_type,
+                          sincnet=sinc, sr=module.sr, do_pad=False)
+            sub = {"params": params[f"blocks_{i}"]}
+            if f"blocks_{i}" in bstats:
+                sub["batch_stats"] = bstats[f"blocks_{i}"]
+            # jitted per-block apply: streaming chunks are usually a fixed
+            # size, so each block compiles once (shape-keyed cache); eager
+            # dispatch of the ~10 ops per block is the bottleneck on
+            # remote-device backends
+            self.conv_streams.append(_ConvStream(
+                jax.jit(lambda x, blk=blk, sub=sub:
+                        blk.apply(sub, x, train=False)),
+                k, st, dil, pad, module.pad_mode))
+
+        # dense skip 1x1 projections + pool-downsamplers to the final rate
+        self.skip_kernels = []
+        self.skip_pools: List[_PoolStream] = []
+        self.skip_fifos: List[Optional[jnp.ndarray]] = []
+        if module.denseskips:
+            for i in range(nblocks - 1):
+                self.skip_kernels.append(
+                    jnp.asarray(params[f"denseskips_{i}"]["kernel"]))
+                dfactor = int(np.prod(module.strides[i + 1:]))
+                self.skip_pools.append(_PoolStream(dfactor))
+                self.skip_fifos.append(None)
+
+        self.qrnn = None
+        if module.rnn_pool:
+            if module.rnn_type != "qrnn":
+                raise NotImplementedError(
+                    f"streaming rnn_type={module.rnn_type!r} not implemented")
+            self.qrnn = _QRNNStream(params["rnn"], module.rnn_layers)
+
+        self.w_kernel = jnp.asarray(params["W"]["kernel"])
+        self.w_bias = jnp.asarray(params["W"]["bias"])
+        self.y_fifo: Optional[jnp.ndarray] = None
+
+        self.norm_out_stats = None
+        if module.norm_out:
+            if module.norm_type == "bnorm":
+                s = bstats["norm_out"]
+                self.norm_out_stats = (jnp.asarray(s["mean"]),
+                                       jnp.asarray(s["var"]))
+            else:                     # lnorm: per-frame, stateless w/ params
+                self.norm_out_params = params["norm_out"]
+
+        self.vq_emb = None
+        if module.vq_K is not None and module.vq_K > 0:
+            self.vq_emb = jnp.asarray(bstats["quantizer"]["emb"])
+
+    # ------------------------------------------------------------------
+    def _blocks(self, x, flush: bool):
+        """Run frames through the conv trunk, feeding skip taps."""
+        h = x
+        for i, cs in enumerate(self.conv_streams):
+            y = cs.push(h)
+            if flush:
+                y = _tcat(y, cs.flush())
+            if i < len(self.skip_kernels):
+                tap = None
+                if y is not None:
+                    tap = conv1d(y, self.skip_kernels[i])
+                pooled = self.skip_pools[i].push(tap)
+                self.skip_fifos[i] = _tcat(self.skip_fifos[i], pooled)
+            h = y
+            if h is None and not flush:
+                return None
+        return h
+
+    def _tail(self, h):
+        """QRNN + W projection; returns final-rate un-fused frames."""
+        if h is None or h.shape[1] == 0:
+            return None
+        if self.qrnn is not None:
+            h = self.qrnn.push(h)
+        return conv1d(h, self.w_kernel) + self.w_bias
+
+    def _fuse(self):
+        """Emit min-available fused frames across y and all skips."""
+        if self.y_fifo is None or self.y_fifo.shape[1] == 0:
+            return None
+        m = self.y_fifo.shape[1]
+        for f in self.skip_fifos:
+            m = 0 if f is None else min(m, f.shape[1])
+        if m == 0:
+            return None
+        y = self.y_fifo[:, :m]
+        self.y_fifo = self.y_fifo[:, m:]
+        mod = self.module
+        for i, f in enumerate(self.skip_fifos):
+            if mod.densemerge == "concat":
+                y = jnp.concatenate([y, f[:, :m]], axis=-1)
+            else:
+                y = y + f[:, :m]
+            self.skip_fifos[i] = f[:, m:]
+        if self.norm_out_stats is not None:
+            mean, var = self.norm_out_stats
+            y = (y - mean) / jnp.sqrt(var + 1e-5)
+        elif self.module.norm_out and self.module.norm_type == "lnorm":
+            p = self.norm_out_params
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            vr = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+            y = (y - mu) / jnp.sqrt(vr + 1e-5)
+            y = y * p["weight"] + p["bias"]
+        if self.module.tanh_out:
+            y = jnp.tanh(y)
+        if self.vq_emb is not None:
+            b, t, d = y.shape
+            flat = y.reshape(-1, d)
+            dist = (jnp.sum(flat ** 2, axis=1, keepdims=True)
+                    + jnp.sum(self.vq_emb ** 2, axis=1)
+                    - 2.0 * flat @ self.vq_emb.T)
+            y = self.vq_emb[jnp.argmin(dist, axis=1)].reshape(b, t, d)
+        return jnp.transpose(y, (0, 2, 1))     # reference (B, C, T')
+
+    def _step(self, wav, flush: bool):
+        if wav is not None:
+            wav = jnp.asarray(wav)
+            if wav.ndim == 1:
+                wav = wav[None]
+            if wav.ndim == 3:                  # (B, 1, t) reference layout
+                wav = wav[:, 0, :]
+            wav = wav[..., None]               # NTC
+        h = self._blocks(wav, flush)
+        self.y_fifo = _tcat(self.y_fifo, self._tail(h))
+        return self._fuse()
+
+    def push(self, wav):
+        """Feed new waveform samples; returns [B, emb, m] or None."""
+        return self._step(wav, flush=False)
+
+    def flush(self):
+        """Signal end-of-stream; returns the remaining [B, emb, m] or None."""
+        return self._step(None, flush=True)

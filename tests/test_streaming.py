@@ -1,0 +1,75 @@
+"""Streaming encoder == offline encoder, for arbitrary chunkings.
+
+The reference has no streaming path (it re-forwards whole windows,
+util_scripts/forward_chunk.py); here we assert our stateful online form
+(pase_tpu/streaming.py) is numerically equivalent to the offline
+Encoder.__call__ — same frames out regardless of how the waveform is cut.
+"""
+
+import numpy as np
+import pytest
+
+from pase_tpu.frontend import wf_builder
+from pase_tpu.streaming import StreamingEncoder
+
+
+def _stream(enc, wav, sizes):
+    s = StreamingEncoder(enc)
+    outs = []
+    i = 0
+    for n in sizes:
+        y = s.push(wav[:, i:i + n])
+        if y is not None:
+            outs.append(np.asarray(y))
+        i += n
+    assert i == wav.shape[1]
+    y = s.flush()
+    if y is not None:
+        outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=2)
+
+
+def _check(cfg, sizes, T=32000, batch=2, seed=0):
+    enc = wf_builder(cfg)
+    enc.init()
+    rng = np.random.RandomState(seed)
+    wav = rng.randn(batch, T).astype(np.float32) * 0.1
+    ref = np.asarray(enc(wav))
+    got = _stream(enc, wav, sizes)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_streaming_pase_plus_matches_offline():
+    # PASE+ trunk: sinc + denseskips + QRNN + norm_out
+    _check("cfg/frontend/PASE+.cfg", [5000, 160, 12840, 14000])
+
+
+def test_streaming_uneven_chunks():
+    # chunk sizes with no relation to strides or the 160-sample frame
+    _check("cfg/frontend/PASE+.cfg", [1000, 777, 13, 20210, 10000])
+
+
+def test_streaming_pase_v0():
+    # PASE v0 trunk: no rnn_pool, no denseskips, emb 100
+    _check("cfg/frontend/PASE.cfg", [7000, 9000, 16000], T=32000)
+
+
+def test_streaming_single_push_equals_offline():
+    _check("cfg/frontend/PASE+.cfg", [32000])
+
+
+def test_streaming_latency_bounded():
+    # frames must come out incrementally, not all at flush
+    enc = wf_builder("cfg/frontend/PASE+.cfg")
+    enc.init()
+    rng = np.random.RandomState(1)
+    wav = rng.randn(1, 32000).astype(np.float32)
+    s = StreamingEncoder(enc)
+    n_early = 0
+    for i in range(0, 32000, 4000):
+        y = s.push(wav[:, i:i + 4000])
+        if y is not None and i < 28000:
+            n_early += y.shape[2]
+    s.flush()
+    assert n_early >= 100   # most of the 200 frames emitted before EOS

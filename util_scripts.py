@@ -32,12 +32,27 @@ def forward_chunk(opts):
     wav, sr = read_wav(opts.in_wav)
     chunk = opts.chunk_size
     feats = []
-    for beg in range(0, len(wav), chunk):
-        piece = wav[beg:beg + chunk]
-        if len(piece) < chunk:
-            piece = np.pad(piece, (0, chunk - len(piece)))
-        y = np.asarray(enc(piece[None, None, :]))[0]     # [D, F]
-        feats.append(y)
+    if getattr(opts, "streaming", False):
+        # stateful exact-online encode: identical frames to one full
+        # forward, O(chunk) memory (pase_tpu/streaming.py)
+        from pase_tpu.streaming import StreamingEncoder
+        st = StreamingEncoder(enc)
+        for beg in range(0, len(wav), chunk):
+            y = st.push(wav[None, beg:beg + chunk])
+            if y is not None:
+                feats.append(np.asarray(y)[0])
+        y = st.flush()
+        if y is not None:
+            feats.append(np.asarray(y)[0])
+    else:
+        # reference semantics: independent windows (zero-padded tail),
+        # boundary frames see reflect pads (util_scripts/forward_chunk.py)
+        for beg in range(0, len(wav), chunk):
+            piece = wav[beg:beg + chunk]
+            if len(piece) < chunk:
+                piece = np.pad(piece, (0, chunk - len(piece)))
+            y = np.asarray(enc(piece[None, None, :]))[0]     # [D, F]
+            feats.append(y)
     out = np.concatenate(feats, axis=1)[:, :len(wav) // 160]
     np.save(opts.out_file, out)
     print(f"{opts.in_wav}: {out.shape} -> {opts.out_file}")
@@ -288,6 +303,9 @@ def main():
     fc.add_argument("--in_wav", required=True)
     fc.add_argument("--out_file", required=True)
     fc.add_argument("--chunk_size", type=int, default=160000)
+    fc.add_argument("--streaming", action="store_true", default=False,
+                    help="stateful exact-online encode (bit-equal to one "
+                         "full forward) instead of independent windows")
 
     ec = sub.add_parser("eval-ckpts")
     ec.add_argument("--fe_cfg", required=True)
