@@ -30,6 +30,11 @@ have different streaming latencies). The QRNN carries ``(x_{t-1}, c_t)``
 across chunks (ops/qrnn.py). BatchNorm eval statistics, PReLU, the 1x1
 ``W`` projection, tanh, and VQ nearest-codebook lookup are stateless.
 
+Latency: the algorithmic lookahead is the per-layer right pads mapped
+back to input samples — for the PASE+ trunk 125 (sinc) + 10 + 50 + 100 +
+100 + 200 + 200 + 400 ~= 1185 samples ~= 74 ms at 16 kHz, the minimum
+for any exact implementation of this (non-causal SAME-padded) stack.
+
 Exactness caveat: when the total stream length is not a multiple of the
 stride product (160), the offline ``fuse_skip`` derives its downsampling
 factor from the realized ratio ``skip_len // y_len`` which can deviate
