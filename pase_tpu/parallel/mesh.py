@@ -41,3 +41,36 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def state_shardings(tree, mesh: Mesh, min_lanes: int = 64):
+    """Column-parallel ('tensor parallel') sharding rule for a parameter /
+    optimizer pytree: shard the trailing (output-channel / lane) axis of
+    every large-enough leaf over the 'model' axis, replicate the rest.
+
+    Conv kernels [K, Cin, Cout] and dense kernels [Cin, Cout] become
+    column-parallel; biases / norm scales [C] shard along the same axis,
+    so the blocks' outputs are lane-sharded and XLA/GSPMD inserts the
+    all-gathers only where a consumer genuinely needs full lanes.
+    Small leaves (scalars, per-worker alpha, opt counts) stay replicated.
+    """
+    n_model = mesh.shape.get("model", 1)
+    rep = NamedSharding(mesh, P())
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if (n_model > 1 and len(shape) >= 1
+                and shape[-1] % n_model == 0 and shape[-1] >= min_lanes):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1)), "model"))
+        return rep
+
+    return jax.tree.map(rule, tree)
+
+
+def shard_state(tree, mesh: Mesh, min_lanes: int = 64):
+    """device_put a TrainState-like pytree with column-parallel model
+    sharding (see state_shardings); pure data parallelism falls out as
+    the special case n_model == 1 (everything replicated)."""
+    shardings = state_shardings(tree, mesh, min_lanes)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
