@@ -30,7 +30,10 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 def _flat(tree) -> Dict[str, np.ndarray]:
     flat = flatten_dict(unfreeze(tree) if hasattr(tree, "unfreeze") or
                         isinstance(tree, dict) else tree, sep="/")
-    return {k: np.asarray(v) for k, v in flat.items()}
+    # None leaves (e.g. disabled GAN state in a full TrainState dict) are
+    # structure, not data — the restore path re-derives them from the
+    # freshly initialized template
+    return {k: np.asarray(v) for k, v in flat.items() if v is not None}
 
 
 def save_variables(path: str, variables, step: int = 0, extra: Optional[dict] = None):
@@ -55,6 +58,46 @@ def load_variables(path: str):
         else:
             tree[k] = jnp.asarray(data[k])
     return freeze(unflatten_dict(tree, sep="/")), meta
+
+
+def train_state_to_tree(state) -> dict:
+    """Full TrainState (NamedTuple incl. optimizer / policy / rng / GAN
+    state) -> plain nested dict ready for save_variables. Mirrors the
+    reference Saver persisting optimizer state alongside the weights
+    (/root/reference/pase/models/modules.py:151-301)."""
+    from flax import serialization
+    return serialization.to_state_dict(jax.device_get(state))
+
+
+def restore_train_state(template, tree):
+    """Restore a TrainState from a loaded checkpoint tree.
+
+    ``template`` is a freshly initialized (host-side) TrainState providing
+    the pytree structure: every non-None array leaf of the template must
+    be present in ``tree`` (strict — a partial optimizer state would
+    silently perturb optimization, the exact failure mode this exists to
+    prevent). None leaves / empty collections are taken from the template.
+    """
+    from flax import serialization
+    from flax.traverse_util import empty_node
+
+    t_sd = serialization.to_state_dict(template)
+    flat_t = flatten_dict(t_sd, keep_empty_nodes=True)
+    flat_l = flatten_dict(unfreeze(tree))
+    missing = []
+    for k, v in list(flat_t.items()):
+        if v is None or v is empty_node:
+            continue
+        if k in flat_l:
+            flat_t[k] = jnp.asarray(flat_l[k])
+        else:
+            missing.append("/".join(map(str, k)))
+    if missing:
+        raise ValueError(
+            "checkpoint is missing TrainState leaves (refusing a partial "
+            f"resume): {missing[:8]}{'...' if len(missing) > 8 else ''}")
+    return serialization.from_state_dict(template,
+                                         unflatten_dict(flat_t))
 
 
 class Saver:
@@ -140,6 +183,14 @@ def _map_torch_key(tkey: str):
             path.append(p)
             i += 1
     leaf = parts[-1]
+    if leaf == "weight_g":      # torch weight_norm -> WNConv1D.g
+        return ("params", tuple(path) + ("g",), "squeeze")
+    if leaf == "weight_v":      # torch weight_norm -> WNConv1D.v
+        return ("params", tuple(path) + ("v",), "conv_kernel")
+    if leaf == "weight_u":      # torch spectral_norm power-iteration state
+        return ("batch_stats", tuple(path) + ("u",), "id")
+    if leaf == "weight_orig":   # torch spectral_norm -> SNConv1D.kernel
+        return ("params", tuple(path) + ("kernel",), "conv_kernel")
     if leaf == "low_hz_":
         return ("params", tuple(path) + ("low_hz",), "id")
     if leaf == "band_hz_":
@@ -195,6 +246,21 @@ def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
             else:
                 skipped.append(tkey)
                 continue
+        elif tag == "squeeze":
+            dest = (col,) + path
+            arr = arr.reshape(-1)
+            if dest not in flat_ref:
+                skipped.append(tkey)
+                continue
+        elif tag == "conv_kernel":
+            dest = (col,) + path
+            if dest not in flat_ref:
+                skipped.append(tkey)
+                continue
+            if arr.ndim == 3:
+                arr = arr.transpose(2, 1, 0)      # (O,I,K) -> (K,I,O)
+            elif arr.ndim == 2:
+                arr = arr.T
         else:
             dest = (col,) + path
             if dest not in flat_ref:

@@ -262,6 +262,22 @@ class PASE(nn.Module):
         return h, chunk, preds, labels
 
 
+def collect_sown(ups, key: str):
+    """Gather every value sown under ``key`` anywhere in a mutated
+    'intermediates' collection (flax sow appends tuples)."""
+    out = []
+
+    def walk(d):
+        for k, v in dict(d).items():
+            if k == key:
+                out.extend(list(v) if isinstance(v, (tuple, list)) else [v])
+            elif hasattr(v, "items"):
+                walk(v)
+
+    walk(ups.get("intermediates", {}))
+    return out
+
+
 def worker_losses(model_meta, preds, labels):
     """Per-worker losses as a dict; loss fns from each worker cfg."""
     losses = {}

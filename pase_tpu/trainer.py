@@ -248,7 +248,7 @@ class Trainer:
                 (h, chunk, preds, labels), ups = model.apply(
                     variables, batch, state.alpha, train=True,
                     rngs={"sample": k_sample, "dropout": k_drop},
-                    mutable=["batch_stats"])
+                    mutable=["batch_stats", "intermediates"])
                 losses = worker_losses(meta, preds, labels)
                 loss_vec = jnp.stack([losses[n] for n in ordered])
                 weights, alpha_next, new_pstate = apply_policy(
@@ -257,6 +257,19 @@ class Trainer:
                 total = jnp.sum(jax.lax.stop_gradient(weights) * loss_vec)
                 for n in regu:
                     total = total + losses[n]
+                # VQ commitment loss (vq_K configs): sown by WaveFe,
+                # aggregated into the objective like the reference VQ path
+                # (core.py / modules.py:1080-1147) — this is what trains
+                # the encoder toward the codebook
+                from pase_tpu.model import collect_sown
+                vq = collect_sown(ups, "vq_loss")
+                if vq:
+                    vq_total = sum(vq)
+                    losses["vq"] = vq_total
+                    total = total + vq_total
+                    pp = collect_sown(ups, "vq_perplexity")
+                    if pp:
+                        losses["vq_perplexity"] = sum(pp) / len(pp)
                 fake = None
                 if gan_cfg is not None:
                     # generator objective: D(fake) should look real; D
@@ -454,10 +467,14 @@ class Trainer:
     # -- checkpointing ---------------------------------------------------------
 
     def save(self, state, epoch: int):
+        """Persist the FULL TrainState — params, batch_stats, optimizer
+        moments, policy state, alpha, rng, and GAN discriminator state —
+        so a preempted run resumes with bit-identical optimization
+        (reference Saver semantics, modules.py:151-301)."""
+        from pase_tpu.checkpoint import train_state_to_tree
         host = jax.device_get(state)
-        variables = {"params": host.params, "batch_stats": host.batch_stats}
         step = int(host.step)
-        self.saver.save(self.name, variables, step)
+        self.saver.save(self.name, train_state_to_tree(host), step)
         # encoder-only artifact, the reference's published format
         # (FE_e{e}.ckpt — trainer.py:267-269)
         fe_vars = {"params": host.params["frontend"],
@@ -466,11 +483,26 @@ class Trainer:
                        fe_vars, step)
 
     def try_resume(self) -> Optional[TrainState]:
-        variables, meta = self.saver.load_weights()
-        if variables is None:
+        tree, meta = self.saver.load_weights()
+        if tree is None:
             return None
         state = self.init_state(self.cfg.get("seed", 0))
         step = int(meta.get("step", 0))
-        return state._replace(params=variables["params"],
-                              batch_stats=variables.get("batch_stats", {}),
-                              step=jnp.asarray(step, jnp.int32))
+        if "opt_state" not in tree:
+            # legacy weights-only checkpoint (round-1 format): resume
+            # params/batch_stats/step, fresh optimizer — loud about it
+            print("[trainer] WARNING: legacy checkpoint without optimizer "
+                  "state; resuming weights only (Adam moments reset)")
+            return state._replace(params=tree["params"],
+                                  batch_stats=tree.get("batch_stats", {}),
+                                  step=jnp.asarray(step, jnp.int32))
+        from pase_tpu.checkpoint import restore_train_state
+        restored = restore_train_state(jax.device_get(state), tree)
+        # step consistency: index step, __meta__ step and the state's own
+        # step leaf must agree (reference enforces all savers at the same
+        # step on resume — WorkerScheduler/trainer.py:339-363)
+        if int(restored.step) != step:
+            raise ValueError(
+                f"checkpoint step mismatch: index says {step}, state "
+                f"holds {int(restored.step)}")
+        return replicate(restored, self.mesh)

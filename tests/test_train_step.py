@@ -149,28 +149,81 @@ def test_batch_sharding_over_mesh():
     assert shards[0].data.shape == (1, 4800)
 
 
-def test_save_and_resume(tmp_path):
+def test_save_and_resume_full_state(tmp_path):
+    """Resume restores the FULL TrainState (optimizer moments, policy
+    state, alpha, rng): an interrupted run continues bit-identically to
+    an uninterrupted one (reference Saver stores optimizer state too,
+    modules.py:151-301)."""
+    from pase_tpu.parallel.mesh import shard_batch
+
+    def _mk():
+        tr = _trainer(mode="adaptive")   # adaptive: policy state matters
+        tr.save_path = str(tmp_path)
+        tr.saver.save_path = str(tmp_path)
+        tr.saver.index_path = str(tmp_path / "PASE-checkpoints")
+        return tr
+
+    def _batches(n, skip=0):
+        batcher = iter(SyntheticChunkBatcher(8, 4800, seed=5))
+        out = []
+        for i in range(skip + n):
+            b = next(batcher)
+            if i >= skip:
+                out.append({k: jnp.asarray(v) for k, v in b.items()})
+        return out
+
+    tr = _mk()
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    for raw in _batches(3):
+        state, _ = step(state, shard_batch(raw, tr.mesh))
+    tr.save(state, epoch=0)
+    # uninterrupted continuation
+    ref_losses = []
+    for raw in _batches(2, skip=3):
+        state, losses = step(state, shard_batch(raw, tr.mesh))
+        ref_losses.append({k: float(v) for k, v in
+                           jax.device_get(losses).items()})
+
+    # interrupted run: fresh Trainer, resume, same two batches
+    tr2 = _mk()
+    resumed = tr2.try_resume()
+    assert resumed is not None
+    assert int(jax.device_get(resumed.step)) == 3
+    # optimizer moments survived (a fresh init would have zeros)
+    mu = jax.tree.leaves(jax.device_get(
+        resumed.opt_state.inner_states["frontend"].inner_state))
+    assert any(np.abs(np.asarray(m)).max() > 0 for m in mu)
+    step2 = tr2._make_train_step()
+    res_losses = []
+    for raw in _batches(2, skip=3):
+        resumed, losses = step2(resumed, shard_batch(raw, tr2.mesh))
+        res_losses.append({k: float(v) for k, v in
+                           jax.device_get(losses).items()})
+    for a, b in zip(ref_losses, res_losses):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=0, atol=0,
+                                       err_msg=k)
+
+
+def test_resume_legacy_weights_only(tmp_path):
+    """A round-1-format checkpoint (params+batch_stats only) still
+    resumes — weights restored, optimizer fresh, warning printed."""
     tr = _trainer()
     tr.save_path = str(tmp_path)
     tr.saver.save_path = str(tmp_path)
     tr.saver.index_path = str(tmp_path / "PASE-checkpoints")
     state = tr.init_state(0)
-    step = tr._make_train_step()
-    from pase_tpu.parallel.mesh import shard_batch
-    batcher = iter(SyntheticChunkBatcher(8, 4800, seed=5))
-    for _ in range(3):
-        raw = shard_batch({k: jnp.asarray(v) for k, v in
-                           next(batcher).items()}, tr.mesh)
-        state, _ = step(state, raw)
-    tr.save(state, epoch=0)
+    host = jax.device_get(state)
+    tr.saver.save(tr.name, {"params": host.params,
+                            "batch_stats": host.batch_stats}, 7)
     resumed = tr.try_resume()
     assert resumed is not None
-    assert int(jax.device_get(resumed.step)) == 3
-    p0 = jax.device_get(state.params)
-    p1 = jax.device_get(resumed.params)
-    leaf0 = jax.tree.leaves(p0)[0]
-    leaf1 = jax.tree.leaves(p1)[0]
-    np.testing.assert_allclose(np.asarray(leaf0), np.asarray(leaf1))
+    assert int(jax.device_get(resumed.step)) == 7
+    a = jax.tree.leaves(jax.device_get(resumed.params))[0]
+    b = jax.tree.leaves(host.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
 def test_pase_v01_config_end_to_end():
