@@ -23,46 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from pase_tpu.nn import PReLU, conv1d
+from pase_tpu.nn import PReLU, SNConv1D, conv1d
 from pase_tpu.ops.pad import pad_1d
-
-
-class SNConv1D(nn.Module):
-    """Conv1d with spectral weight normalization (power iteration)."""
-    features: int
-    kwidth: int
-    stride: int = 1
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        cin = x.shape[-1]
-        bound = 1.0 / np.sqrt(cin * self.kwidth)
-        kernel = self.param(
-            "kernel",
-            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
-            (self.kwidth, cin, self.features))
-        u = self.variable("batch_stats", "u",
-                          lambda: jax.random.normal(jax.random.PRNGKey(0),
-                                                    (self.features,)))
-        w = kernel.reshape(-1, self.features)            # [K*Cin, F]
-        v = w @ u.value
-        v = v / (jnp.linalg.norm(v) + 1e-12)
-        u_new = w.T @ v
-        u_norm = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-        sigma = jnp.dot(v, w @ u_norm)
-        if train and not self.is_initializing():
-            u.value = jax.lax.stop_gradient(u_norm)
-        kernel = kernel / jnp.maximum(sigma, 1e-12)
-        y = conv1d(x, kernel, self.stride)
-        if self.use_bias:
-            bias = self.param(
-                "bias",
-                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound,
-                                                bound),
-                (self.features,))
-            y = y + bias
-        return y
 
 
 class WaveDiscriminator(nn.Module):

@@ -21,8 +21,8 @@ import numpy as np
 from flax import linen as nn
 from flax.core import freeze, unfreeze
 
-from pase_tpu.nn import (FeBlock, Conv1D, QRNN, BatchNorm1d, InstanceNorm1d,
-                         build_norm)
+from pase_tpu.nn import (FeBlock, FeResBlock, Conv1D, QRNN, BatchNorm1d,
+                         InstanceNorm1d, build_norm)
 
 
 def fuse_skip(y, skip, densemerge="sum"):
@@ -89,11 +89,21 @@ class WaveFe(nn.Module):
         nblocks = len(self.kwidths)
         for i, (kw, st, dil, fm) in enumerate(zip(self.kwidths, self.strides,
                                                   self.dilations, self.fmaps)):
-            h = FeBlock(fmaps=fm, kwidth=kw, stride=st, dilation=dil,
-                        pad_mode=self.pad_mode, act=self.activation,
-                        norm_type=self.norm_type,
-                        sincnet=self.sincnet and i == 0, sr=self.sr,
-                        name=f"blocks_{i}")(h, train=train)
+            sinc_here = self.sincnet and i == 0
+            if self.resblocks and not sinc_here:
+                # residual path (reference frontend.py:160-168):
+                # FeResBlock for every non-sinc layer, stride expressed
+                # as nearest-neighbor downsampling
+                h = FeResBlock(fmaps=fm, kwidth=kw, downsample=st,
+                               act=self.activation,
+                               norm_type=self.norm_type,
+                               name=f"blocks_{i}")(h, train=train)
+            else:
+                h = FeBlock(fmaps=fm, kwidth=kw, stride=st, dilation=dil,
+                            pad_mode=self.pad_mode, act=self.activation,
+                            norm_type=self.norm_type,
+                            sincnet=sinc_here, sr=self.sr,
+                            name=f"blocks_{i}")(h, train=train)
             if self.denseskips and (i + 1) < nblocks:
                 proj = Conv1D(self.emb_dim, 1, use_bias=False,
                               name=f"denseskips_{i}")(h)

@@ -144,10 +144,10 @@ class LayerNorm1d(nn.Module):
 
 
 def build_norm(norm_type: Optional[str], features: int, name: str = "norm"):
-    """Factory mirroring build_norm_layer (modules.py:77-98).
-
-    'snorm'/'wnorm' (weight reparameterizations) are intentionally not
-    supported in the functional core; configs using them raise.
+    """Post-conv norm layer factory mirroring build_norm_layer
+    (modules.py:77-98). The weight reparameterizations ('snorm'/'wnorm'/
+    'bsnorm') are handled by the conv itself — callers split a norm_type
+    with ``split_norm`` first; passing one here raises.
     """
     if norm_type == "bnorm":
         return BatchNorm1d(features, affine=True, name=name)
@@ -160,6 +160,20 @@ def build_norm(norm_type: Optional[str], features: int, name: str = "norm"):
     if norm_type is None:
         return None
     raise TypeError(f"Unrecognized norm type: {norm_type}")
+
+
+def split_norm(norm_type: Optional[str]):
+    """Split a reference norm_type into (conv weight reparameterization,
+    post-conv norm layer type) — build_norm_layer semantics
+    (modules.py:77-98): 'snorm'/'wnorm' reparameterize the conv weights
+    and add NO norm layer; 'bsnorm' is spectral norm + BatchNorm."""
+    if norm_type == "snorm":
+        return "snorm", None
+    if norm_type == "wnorm":
+        return "wnorm", None
+    if norm_type == "bsnorm":
+        return "snorm", "bnorm"
+    return None, norm_type
 
 
 class Conv1D(nn.Module):
@@ -188,6 +202,83 @@ class Conv1D(nn.Module):
             bias = self.param(
                 "bias",
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.features,))
+            y = y + bias
+        return y
+
+
+class WNConv1D(nn.Module):
+    """Conv1d with weight normalization (torch weight_norm, dim=0):
+    w = g * v / ||v|| with the norm per output channel over (Cin, K).
+    Initial g = ||v|| so the initial function equals the plain conv."""
+    features: int
+    kwidth: int
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        bound = 1.0 / np.sqrt(cin * self.kwidth)
+
+        def v_init(key):
+            return jax.random.uniform(key, (self.kwidth, cin, self.features),
+                                      jnp.float32, -bound, bound)
+
+        v = self.param("v", v_init)
+        g = self.param(
+            "g", lambda k: jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1))))
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1),
+                                keepdims=True)) + 1e-12
+        kernel = v / norm * g[None, None, :]
+        y = conv1d(x, kernel, self.stride, self.dilation)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound,
+                                                bound),
+                (self.features,))
+            y = y + bias
+        return y
+
+
+class SNConv1D(nn.Module):
+    """Conv1d with spectral weight normalization (one power-iteration
+    step per training forward, u-vector in 'batch_stats' — the Miyato et
+    al. recipe torch's spectral_norm hook implements)."""
+    features: int
+    kwidth: int
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        bound = 1.0 / np.sqrt(cin * self.kwidth)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.kwidth, cin, self.features))
+        u = self.variable("batch_stats", "u",
+                          lambda: jax.random.normal(jax.random.PRNGKey(0),
+                                                    (self.features,)))
+        w = kernel.reshape(-1, self.features)            # [K*Cin, F]
+        v = w @ u.value
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u_new = w.T @ v
+        u_norm = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+        sigma = jnp.dot(v, w @ u_norm)
+        if train and not self.is_initializing():
+            u.value = jax.lax.stop_gradient(u_norm)
+        kernel = kernel / jnp.maximum(sigma, 1e-12)
+        y = conv1d(x, kernel, self.stride, self.dilation)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound,
+                                                bound),
                 (self.features,))
             y = y + bias
         return y
@@ -315,7 +406,14 @@ class FeBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         wfmaps = 2 * self.fmaps if self.act == "glu" else self.fmaps
+        reparam, post_norm = split_norm(self.norm_type)
         if self.sincnet:
+            if reparam is not None:
+                raise TypeError(
+                    f"norm_type={self.norm_type!r} reparameterizes conv "
+                    "weights; the sinc layer has no weight tensor (the "
+                    "reference's spectral_norm would crash on SincConv "
+                    "too, modules.py:80-90)")
             h = SincConv(wfmaps, self.kwidth, self.stride,
                          sample_rate=self.sr,
                          padding="SAME" if self.do_pad else "VALID",
@@ -324,9 +422,16 @@ class FeBlock(nn.Module):
             if self.kwidth > 1 and self.do_pad:
                 x = pad_1d(x, feblock_pad(self.kwidth, self.stride,
                                           self.dilation), self.pad_mode)
-            h = Conv1D(wfmaps, self.kwidth, self.stride, self.dilation,
-                       name="conv")(x)
-        norm = build_norm(self.norm_type, wfmaps)
+            if reparam == "snorm":
+                h = SNConv1D(wfmaps, self.kwidth, self.stride, self.dilation,
+                             name="conv")(x, train=train)
+            elif reparam == "wnorm":
+                h = WNConv1D(wfmaps, self.kwidth, self.stride, self.dilation,
+                             name="conv")(x)
+            else:
+                h = Conv1D(wfmaps, self.kwidth, self.stride, self.dilation,
+                           name="conv")(x)
+        norm = build_norm(post_norm, wfmaps)
         if norm is not None:
             h = norm(h, train=train)
         if self.act == "glu":
@@ -336,6 +441,88 @@ class FeBlock(nn.Module):
             h = PReLU(self.fmaps, init=0.0, name="act")(h)
         else:
             h = getattr(jax.nn, self.act.lower())(h)
+        return h
+
+
+class FeResBlock(nn.Module):
+    """Two-conv residual encoder block (modules.py:936-1012).
+
+    Exact reference semantics: nearest-neighbor time downsampling by
+    ``downsample`` BEFORE conv1 (F.interpolate scale=1/downsample),
+    symmetric ZERO padding of (kwidth//2)*dilation per side (the
+    reference ignores its pad_mode here — torch conv 'zeros'), then
+    conv1 -> norm1 -> act1 -> conv2 -> act2 -> (+ 1x1-projected,
+    downsampled identity) -> norm2. Note even kwidths grow the length by
+    ``dilation`` samples per conv, exactly as torch does.
+
+    glu is not supported: the reference's build_activation('glu', ...)
+    raises AttributeError (no torch.nn.glu), so no reference config can
+    reach it either.
+    """
+    fmaps: int
+    kwidth: int
+    dilations: Sequence[int] = (1, 2)
+    downsample: int = 1
+    act: Optional[str] = None
+    norm_type: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.act == "glu":
+            raise TypeError("FeResBlock does not support glu "
+                            "(broken in the reference as well)")
+        reparam, post_norm = split_norm(self.norm_type)
+
+        def conv(feat, kw, dil, name):
+            if reparam == "snorm":
+                return lambda h: SNConv1D(feat, kw, 1, dil, name=name)(
+                    h, train=train)
+            if reparam == "wnorm":
+                return lambda h: WNConv1D(feat, kw, 1, dil, name=name)(h)
+            return lambda h: Conv1D(feat, kw, 1, dil, name=name)(h)
+
+        def interp_down(h):
+            # F.interpolate(scale_factor=1/downsample, mode='nearest'):
+            # out[i] = in[i*downsample], length floor(T/downsample)
+            t_out = h.shape[1] // self.downsample
+            return h[:, :t_out * self.downsample:self.downsample]
+
+        identity = x
+        if self.downsample > 1:
+            x = interp_down(x)
+        d1, d2 = self.dilations[0], self.dilations[1]
+        p1 = (self.kwidth // 2) * d1
+        h = jnp.pad(x, ((0, 0), (p1, p1), (0, 0)))
+        h = conv(self.fmaps, self.kwidth, d1, "conv1")(h)
+        norm1 = build_norm(post_norm, self.fmaps, name="norm1")
+        if norm1 is not None:
+            h = norm1(h, train=train)
+        h = PReLU(self.fmaps, init=0.0, name="act1")(h) \
+            if self.act in (None, "prelu") \
+            else getattr(jax.nn, self.act.lower())(h)
+        p2 = (self.kwidth // 2) * d2
+        h = jnp.pad(h, ((0, 0), (p2, p2), (0, 0)))
+        h = conv(self.fmaps, self.kwidth, d2, "conv2")(h)
+        h = PReLU(self.fmaps, init=0.0, name="act2")(h) \
+            if self.act in (None, "prelu") \
+            else getattr(jax.nn, self.act.lower())(h)
+        if identity.shape[-1] != self.fmaps:
+            identity = Conv1D(self.fmaps, 1, name="resproj")(identity)
+        if self.downsample > 1:
+            identity = interp_down(identity)
+        # even kwidth grows h by `dilation` relative to identity (torch
+        # length formula); the reference then broadcasts-adds only when
+        # shapes match — configs use odd kwidths here, enforce it
+        if h.shape[1] != identity.shape[1]:
+            raise ValueError(
+                f"FeResBlock kwidth={self.kwidth} (even) yields length "
+                f"{h.shape[1]} vs identity {identity.shape[1]} — the "
+                "reference torch add would fail identically; use odd "
+                "kwidths with resblocks")
+        h = h + identity
+        norm2 = build_norm(post_norm, self.fmaps, name="norm2")
+        if norm2 is not None:
+            h = norm2(h, train=train)
         return h
 
 
