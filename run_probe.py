@@ -9,7 +9,16 @@ ASR/run_TIMIT_fast.py) unified:
   python run_probe.py frames --num_classes 48 ...   # TIMIT FER
   python run_probe.py knn ...                        # KNN on embeddings
 
-List format: `wavpath label` (utt/knn) or `wavpath alifile` (frames).
+plus the FULL decoding pipeline (ASR/run_TIMIT_full_decoding.py):
+
+  python run_probe.py timit-full --fe_cfg ... --fe_ckpt ... \\
+      --train_list tr.lst --test_list te.lst --data_root TIMIT/ \\
+      --mlp_cfg cfg/probes/MLP_PASE.cfg --dec_cfg cfg/probes/decoder.cfg \\
+      --out_folder timit_exp      # trains MLP, writes post.ark + dec_cfg.ini,
+                                  # runs decode_dnn.sh when Kaldi is present
+
+List format: `wavpath label` (utt/knn) or `wavpath alifile`
+(frames/timit-full).
 """
 
 import argparse
@@ -19,7 +28,7 @@ import sys
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("task", choices=["utt", "frames", "knn"])
+    p.add_argument("task", choices=["utt", "frames", "knn", "timit-full"])
     p.add_argument("--fe_cfg", required=True)
     p.add_argument("--fe_ckpt", default=None)
     p.add_argument("--train_list", required=True)
@@ -39,9 +48,31 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_utts", type=int, default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--mlp_cfg", default=None,
+                   help="timit-full: MLP cfg JSON (ASR/cfg/MLP_PASE.cfg)")
+    p.add_argument("--dec_cfg", default=None,
+                   help="timit-full: decoder cfg JSON (ASR/cfg/decoder.cfg)")
+    p.add_argument("--out_folder", default="timit_full_exp")
     opts = p.parse_args()
 
     from pase_tpu.probes import tasks
+
+    if opts.task == "timit-full":
+        from pase_tpu.probes.timit_decode import run_timit_full_decoding
+        if not (opts.mlp_cfg and opts.dec_cfg):
+            p.error("timit-full requires --mlp_cfg and --dec_cfg")
+        metrics = run_timit_full_decoding(
+            opts.fe_cfg, opts.fe_ckpt, opts.data_root, opts.train_list,
+            opts.test_list, opts.out_folder, opts.mlp_cfg, opts.dec_cfg,
+            max_utts=opts.max_utts, epochs=opts.epochs)
+        print(json.dumps({k: v for k, v in metrics.items()
+                          if isinstance(v, (int, float, str, type(None)))}))
+        if opts.out:
+            with open(opts.out, "w") as f:
+                json.dump({k: v for k, v in metrics.items()
+                           if isinstance(v, (int, float, str, type(None)))},
+                          f)
+        return
 
     if opts.task == "utt":
         metrics = tasks.run_utt_classification(
