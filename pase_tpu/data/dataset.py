@@ -129,7 +129,16 @@ class ChunkBatcher:
 
         def worker():
             while not stop.is_set():
-                q.put(self._make_batch())
+                batch = self._make_batch()
+                # bounded put that re-checks stop: a producer blocked on a
+                # full queue must exit when the consumer goes away, or
+                # repeated iter() leaks a thread per epoch loop
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.25)
+                        break
+                    except queue_mod.Full:
+                        continue
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()

@@ -64,10 +64,14 @@ def apply_policy(mode: str, losses: jnp.ndarray, state: PolicyState,
 
     if mode == "select_half":
         # random 0/1 mask with 3-4 active workers (worker_scheduler.py:
-        # 132-136). Rejection loop replaced by sampling a subset size in
-        # {3,4} and a random permutation — same marginal support.
+        # 132-136). The reference rejection-samples uniform binary masks
+        # until sum∈{3,4}, so P(|mask|=s) ∝ C(n,s); sample the size with
+        # those exact weights (static n), then a uniform subset of it.
+        from math import comb
+        c3, c4 = comb(n, 3), (comb(n, 4) if n >= 4 else 0)
+        p3 = c3 / max(c3 + c4, 1)
         k1, k2 = jax.random.split(rng)
-        size = jax.random.randint(k1, (), 3, 5)
+        size = jnp.where(jax.random.uniform(k1, ()) < p3, 3, 4)
         order = jax.random.permutation(k2, n)
         ranks = jnp.argsort(order)
         w = (ranks < size).astype(jnp.float32)

@@ -35,12 +35,16 @@ back to input samples — for the PASE+ trunk 125 (sinc) + 10 + 50 + 100 +
 100 + 200 + 200 + 400 ~= 1185 samples ~= 74 ms at 16 kHz, the minimum
 for any exact implementation of this (non-causal SAME-padded) stack.
 
-Exactness caveat: when the total stream length is not a multiple of the
-stride product (160), the offline ``fuse_skip`` derives its downsampling
-factor from the realized ratio ``skip_len // y_len`` which can deviate
-from ``prod(strides[i+1:])``; parity is guaranteed for totals divisible
-by the stride product (the natural frame size) and holds in practice for
-any utterance much longer than one frame.
+Exactness caveat: the offline ``fuse_skip`` derives its downsampling
+factor from the realized ratio ``skip_len // y_len``. For totals where
+that ratio still equals ``prod(strides[i+1:])`` (e.g. any multiple of
+160, and most other lengths — 32073 gives 32073//200 = 160), streaming
+is exactly equal. When the ratio deviates (e.g. T=31991: 31991//200 =
+159) the offline form pools deviant-size groups — a reference quirk
+(frontend.py:213-232) that no online algorithm can reproduce without
+knowing the total length in advance; streaming then emits
+``floor(T/160)`` frames with the canonical factor instead
+(tests/test_streaming.py pins both behaviors).
 
 Usage::
 

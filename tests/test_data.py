@@ -202,3 +202,36 @@ def test_compute_stats_matches_reference_semantics():
     np.testing.assert_allclose(stats["mfcc"]["mean"], ref_mean, atol=1e-4)
     np.testing.assert_allclose(stats["mfcc"]["std"], ref_std, atol=1e-4,
                                rtol=1e-3)
+
+
+def test_chunk_batcher_thread_cleanup():
+    """Repeated iter() must not accumulate producer threads
+    (the prefetch thread re-checks stop while blocked on a full queue)."""
+    import gc
+    import threading
+    import time
+    from pase_tpu.data.dataset import ChunkBatcher
+
+    class _TinyDS:
+        total_wav_dur = 16000 * 4
+
+        def __len__(self):
+            return 4
+
+        def sample_tuple(self, idx):
+            w = np.random.RandomState(idx).randn(3200).astype(np.float32)
+            return w, w, w
+
+    base = threading.active_count()
+    for _ in range(5):
+        bt = ChunkBatcher(_TinyDS(), batch_size=2, chunk_size=1600,
+                          prefetch=1)
+        it = iter(bt)
+        next(it)          # producer now blocks on the full queue
+        del it
+        gc.collect()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and threading.active_count() > base:
+        time.sleep(0.1)
+    assert threading.active_count() <= base, (
+        f"leaked {threading.active_count() - base} producer threads")

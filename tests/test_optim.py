@@ -57,3 +57,29 @@ def test_multi_step_matches_single_steps():
     np.testing.assert_allclose(np.asarray(totals), np.asarray(singles),
                                rtol=1e-3)
     assert int(jax.device_get(s2.step)) == 3
+
+
+def test_select_half_size_distribution():
+    """select_half must match the reference's rejection-sampling law:
+    P(|mask|=s) proportional to C(n,s) for s in {3,4}
+    (worker_scheduler.py:132-136)."""
+    from math import comb
+    import jax
+    import jax.numpy as jnp
+    from pase_tpu.scheduling import apply_policy, init_policy_state
+
+    n = 12
+    state = init_policy_state(n)
+    losses = jnp.ones((n,))
+
+    def one(key):
+        w, _, _ = apply_policy("select_half", losses, state, key)
+        return jnp.sum(w)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    sizes = np.asarray(jax.vmap(one)(keys))
+    assert set(np.unique(sizes)) <= {3.0, 4.0}
+    p3_expected = comb(n, 3) / (comb(n, 3) + comb(n, 4))   # 220/715
+    p3 = float(np.mean(sizes == 3.0))
+    # 4000 draws: 3-sigma ~ 0.022
+    assert abs(p3 - p3_expected) < 0.03, (p3, p3_expected)

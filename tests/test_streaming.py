@@ -73,3 +73,37 @@ def test_streaming_latency_bounded():
             n_early += y.shape[2]
     s.flush()
     assert n_early >= 100   # most of the 200 frames emitted before EOS
+
+
+def test_streaming_nondivisible_total_length():
+    """Pin the boundary behavior for totals NOT divisible by the stride
+    product 160 (streaming.py exactness caveat).
+
+    Parity holds whenever the offline fuse_skip's realized ratio
+    ``skip_len // y_len`` still equals the static stride product (e.g.
+    T=32073: 32073//200=160) — the leftover samples only shrink the last
+    pooling group identically in both forms."""
+    # 32073 = 200 frames * 160 + 73 leftover samples
+    _check("cfg/frontend/PASE+.cfg", [16000, 16000, 73], T=32073)
+
+
+def test_streaming_nondivisible_dfactor_deviation():
+    """When the offline realized ratio DEVIATES from the stride product
+    (T=31991: skip0 31991//200 = 159 != 160), offline fuse_skip pools
+    159-sample groups — a reference quirk (frontend.py:213-232) that no
+    online form can reproduce without knowing the total length. Pin the
+    divergence: streaming emits floor(T/160) frames; truncating the
+    input to a frame multiple restores exact parity."""
+    enc = wf_builder("cfg/frontend/PASE+.cfg")
+    enc.init()
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, 31991).astype(np.float32) * 0.1
+    ref = np.asarray(enc(wav))
+    got = _stream(enc, wav, [31991])
+    assert ref.shape[2] == 200          # offline: deviant dfactor 159
+    assert got.shape[2] == 199          # streaming: floor(31991/160)
+    # exact parity returns on the frame-aligned truncation
+    t_aligned = (31991 // 160) * 160
+    ref2 = np.asarray(enc(wav[:, :t_aligned]))
+    got2 = _stream(enc, wav[:, :t_aligned], [t_aligned])
+    np.testing.assert_allclose(got2, ref2, rtol=1e-3, atol=2e-4)
