@@ -62,6 +62,7 @@ class WaveFe(nn.Module):
     rnn_layers: int = 1
     rnn_dropout: float = 0.0
     rnn_type: str = "qrnn"
+    qrnn_impl: str = "auto"      # 'auto' | 'scan' | 'pallas' (nn.QRNN)
     vq_K: Optional[int] = None
     vq_beta: float = 0.25
     vq_gamma: float = 0.99
@@ -112,7 +113,8 @@ class WaveFe(nn.Module):
             rnn_dim = self.rnn_dim if self.rnn_dim is not None else self.emb_dim
             # reference bidirectional quirk: QRNN ignores the flag and
             # doubles rnn_dim//2 back to rnn_dim (modules.py:48-53)
-            h = QRNN(hidden=rnn_dim, layers=self.rnn_layers, name="rnn")(h)
+            h = QRNN(hidden=rnn_dim, layers=self.rnn_layers,
+                     impl=self.qrnn_impl, name="rnn")(h)
         y = Conv1D(self.emb_dim, 1, name="W")(h)
         for dskip in dskips:
             y = fuse_skip(y, dskip, self.densemerge)
@@ -145,7 +147,8 @@ def load_cfg(cfg) -> Dict[str, Any]:
 _WAVEFE_KEYS = {
     "num_inputs", "sincnet", "kwidths", "strides", "dilations", "fmaps",
     "norm_type", "pad_mode", "sr", "emb_dim", "rnn_dim", "activation",
-    "rnn_pool", "rnn_layers", "rnn_dropout", "rnn_type", "vq_K", "vq_beta",
+    "rnn_pool", "rnn_layers", "rnn_dropout", "rnn_type", "qrnn_impl",
+    "vq_K", "vq_beta",
     "vq_gamma", "norm_out", "tanh_out", "resblocks", "denseskips",
     "densemerge",
 }

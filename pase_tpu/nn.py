@@ -531,20 +531,35 @@ class QRNN(nn.Module):
 
     NTC in/out. ``hidden`` is the per-layer hidden size (already doubled by
     the reference's bidirectional quirk upstream in WaveFe).
+
+    ``impl`` selects the ForgetMult evaluation: 'scan' = log-depth
+    associative scan (ops/qrnn.py); 'pallas' = the VMEM-carry time-blocked
+    kernel (ops/pallas_qrnn.py); 'auto' (default) = pallas on TPU, scan
+    elsewhere. Measured on a v5e chip (benchmarks/bench_qrnn.py): pallas
+    wins at every PASE shape — 5.8 -> 3.1 ms fwd+bwd at the PASE+
+    training shape [96, 200, 512], 14.0 -> 5.7 ms at [8, 4000, 512].
     """
     hidden: int
     layers: int = 1
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         from pase_tpu.precision import get_compute_dtype
+        from pase_tpu.ops.pallas_qrnn import qrnn_pool_pallas, \
+            pallas_available
         cd = get_compute_dtype()
+        if self.impl == "pallas" or (self.impl == "auto"
+                                     and pallas_available()):
+            pool = qrnn_pool_pallas
+        else:
+            pool = qrnn_pool
         h = x
         for li in range(self.layers):
             src = jnp.concatenate([h, shift_right(h)], axis=-1)
             y = nn.Dense(3 * self.hidden, dtype=cd,
                          name=f"layers_{li}_linear")(src)
-            h, _ = qrnn_pool(y.astype(jnp.float32))
+            h, _ = pool(y.astype(jnp.float32))
         return h
 
 

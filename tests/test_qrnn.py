@@ -96,3 +96,20 @@ def test_pallas_scan_grad_interpret():
     ra, rb = jax.grad(loss_ref, argnums=(0, 1))(a, b)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-4)
+
+
+def test_qrnn_module_impl_flag_equality():
+    """nn.QRNN impl='pallas' (interpret mode on CPU) == impl='scan'."""
+    import jax.experimental.pallas.tpu as pltpu
+    from pase_tpu.nn import QRNN
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 40, 16),
+                    jnp.float32)
+    scan_m = QRNN(hidden=16, layers=2, impl="scan")
+    v = scan_m.init(jax.random.PRNGKey(0), x)
+    y_scan = scan_m.apply(v, x)
+    pal_m = QRNN(hidden=16, layers=2, impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        y_pal = pal_m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan),
+                               atol=2e-5, rtol=1e-4)
