@@ -144,3 +144,46 @@ class HostDistortionStage:
         out = dict(batch)
         out["chunk"] = chunk
         return out
+
+
+class StagedBatcher:
+    """Wraps a batcher so every raw numpy batch passes through a
+    HostDistortionStage before device transfer (the reference applies
+    codec2/whisperize inside its DataLoader workers — transforms.py
+    config_distortions wiring)."""
+
+    def __init__(self, batcher, stage: "HostDistortionStage"):
+        self.batcher = batcher
+        self.stage = stage
+
+    @property
+    def bpe(self):
+        return getattr(self.batcher, "bpe", None)
+
+    def __iter__(self):
+        for batch in self.batcher:
+            yield self.stage(batch)
+
+
+def build_host_stage(dcfg_json: dict, seed: int = 0):
+    """Construct the host-side distortion stage from the reference
+    distortion-cfg keys (transforms.py:38-146: codec2_p / codec2_kbps /
+    codec2_cachedir; plus whisper_p / whisper_cachedir for Whisperize,
+    transforms.py:2039-2127). Returns None when no host distortion is
+    configured."""
+    transforms, probs = [], []
+    codec2_p = float(dcfg_json.get("codec2_p", 0) or 0)
+    if codec2_p > 0:
+        transforms.append(Codec2RoundTrip(
+            kbps=int(dcfg_json.get("codec2_kbps",
+                                   dcfg_json.get("codec_kbits", 1600))),
+            cache_dir=dcfg_json.get("codec2_cachedir")))
+        probs.append(codec2_p)
+    whisper_p = float(dcfg_json.get("whisper_p", 0) or 0)
+    if whisper_p > 0:
+        transforms.append(Whisperize(
+            cache_dir=dcfg_json.get("whisper_cachedir")))
+        probs.append(whisper_p)
+    if not transforms:
+        return None
+    return HostDistortionStage(transforms, probs, seed=seed)

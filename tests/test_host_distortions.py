@@ -40,3 +40,52 @@ def test_host_stage_probability():
     rate = (out["chunk"][:, 0] == 0.5).mean()
     assert 0.3 < rate < 0.7
     assert batch["chunk"][0, 0] == 1.0  # input not mutated
+
+
+def test_build_host_stage_and_fire_rate():
+    """The distortion-cfg keys construct a host stage that fires at the
+    configured per-sample probability inside the batcher chain
+    (reference transforms.py:38-146 codec2_p wiring)."""
+    from pase_tpu.data.host_distortions import (build_host_stage,
+                                                StagedBatcher)
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+
+    assert build_host_stage({}) is None
+    stage = build_host_stage({"codec2_p": 0.5, "codec2_kbps": 1600},
+                             seed=3)
+    assert stage is not None and stage.probs == [0.5]
+    fired = [0, 0]   # [fires, samples]
+
+    def marker(w):
+        fired[0] += 1
+        return w + 1000.0
+
+    stage.transforms = [marker]
+    src = SyntheticChunkBatcher(16, 1600, seed=0, bpe=40)
+    wrapped = StagedBatcher(src, stage)
+    assert wrapped.bpe == src.bpe
+    it = iter(wrapped)
+    for _ in range(40):
+        b = next(it)
+        fired[1] += b["chunk"].shape[0]
+        # only 'chunk' is degraded, the clean/context streams are not
+        assert not (b["chunk_ctxt"] > 500).any()
+    rate = fired[0] / fired[1]
+    assert abs(rate - 0.5) < 0.06, rate   # 640 draws, 3 sigma ~ 0.06
+
+
+def test_train_cli_builds_host_stage(tmp_path):
+    """train.py's build_distortions returns the host stage when the
+    distortion cfg declares codec2/whisper keys."""
+    import json as _json
+    import types
+    import train as train_mod
+
+    dcfg = {"codec2_p": 0.3, "codec2_kbps": 1600, "whisper_p": 0.2}
+    p = tmp_path / "dist.cfg"
+    p.write_text(_json.dumps(dcfg))
+    opts = types.SimpleNamespace(dtrans_cfg=[str(p)], seed=0)
+    cfg, assets, host_stage = train_mod.build_distortions(opts, 1600)
+    assert host_stage is not None
+    assert len(host_stage.transforms) == 2
+    assert host_stage.probs == [0.3, 0.2]

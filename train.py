@@ -75,6 +75,12 @@ def build_argparser():
                    help="bfloat16 for mixed-precision MXU passes")
     p.add_argument("--gan_cfg", type=str, default=None,
                    help="JSON: {worker, loss, lr, weight} GAN worker")
+    # multi-host (DCN) scale-out: jax.distributed.initialize wiring.
+    # batch_size is GLOBAL; each process loads its host_batch_slice.
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multi-host runs)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -84,10 +90,14 @@ def build_distortions(opts, chunk_size):
                                            load_wav_bank)
     import glob
     if not opts.dtrans_cfg:
-        return None, None
+        return None, None, None
     with open(opts.dtrans_cfg[0]) as f:
         dcfg_json = json.load(f)
     cfg = config_from_json(dcfg_json)
+    # host-side distortions (codec2 / whisperize) run on raw batches
+    # before device transfer (reference transforms.py:38-146 keys)
+    from pase_tpu.data.host_distortions import build_host_stage
+    host_stage = build_host_stage(dcfg_json, seed=getattr(opts, "seed", 0))
     ir_bank = ir_pmax = noise_bank = overlap_bank = None
     bandrop_bank = downsample_bank = None
     if cfg.reverb_p > 0:
@@ -130,25 +140,41 @@ def build_distortions(opts, chunk_size):
                               overlap_bank=overlap_bank,
                               bandrop_bank=bandrop_bank,
                               downsample_bank=downsample_bank)
-    return cfg, assets
+    return cfg, assets, host_stage
 
 
 def train(opts):
+    # multi-host runtime must come up before any backend use; with it,
+    # jax.devices() is the global pod and each process feeds only its
+    # own host_batch_slice of the (global) --batch_size
+    from pase_tpu.parallel.mesh import init_distributed, host_batch_slice
+    multihost = init_distributed(opts.coordinator_address,
+                                 opts.num_processes, opts.process_id)
     from pase_tpu.trainer import Trainer
     from pase_tpu.data.dataset import (LibriSpeechTupleDataset, ChunkBatcher,
                                        SyntheticChunkBatcher)
     from pase_tpu.data.pipeline import load_stats_pkl
+    local_bs = opts.batch_size
+    if multihost:
+        import jax
+        sl = host_batch_slice(opts.batch_size)
+        local_bs = sl.stop - sl.start
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()} loads batch rows "
+              f"[{sl.start}:{sl.stop}] of {opts.batch_size}")
 
     with open(opts.fe_cfg) as f:
         fe_cfg = json.load(f)
     with open(opts.net_cfg) as f:
         wk_cfg = json.load(f)
 
+    # per-host seeds keep multi-host sampling disjoint
+    seed0 = opts.seed + (0 if not multihost else 1000 * sl.start)
     if opts.synthetic:
-        batcher = SyntheticChunkBatcher(opts.batch_size, opts.chunk_size,
-                                        seed=opts.seed)
-        va_batcher = SyntheticChunkBatcher(opts.batch_size, opts.chunk_size,
-                                           seed=opts.seed + 1)
+        batcher = SyntheticChunkBatcher(local_bs, opts.chunk_size,
+                                        seed=seed0)
+        va_batcher = SyntheticChunkBatcher(local_bs, opts.chunk_size,
+                                           seed=seed0 + 1)
         bpe = 100
     else:
         from pase_tpu.data import dataset as ds_mod
@@ -175,17 +201,23 @@ def train(opts):
         va_ds = make_ds("valid", opts.seed + 1)
         batcher_cls = (ds_mod.FastChunkBatcher if opts.fast_loader
                        else ChunkBatcher)
-        batcher = batcher_cls(ds, opts.batch_size, opts.chunk_size,
-                              seed=opts.seed)
-        va_batcher = batcher_cls(va_ds, opts.batch_size, opts.chunk_size,
-                                 seed=opts.seed + 1)
+        batcher = batcher_cls(ds, local_bs, opts.chunk_size,
+                              seed=seed0)
+        va_batcher = batcher_cls(va_ds, local_bs, opts.chunk_size,
+                                 seed=seed0 + 1)
         bpe = batcher.bpe
         print(f"Dataset: {ds.total_wav_dur/16000/3600.0:.1f} h train audio, "
               f"bpe={bpe}")
 
     stats = load_stats_pkl(opts.stats) if opts.stats and \
         os.path.exists(opts.stats) else None
-    dist_cfg, dist_assets = build_distortions(opts, opts.chunk_size)
+    dist_cfg, dist_assets, host_stage = build_distortions(opts,
+                                                          opts.chunk_size)
+    if host_stage is not None:
+        from pase_tpu.data.host_distortions import StagedBatcher
+        print("Host distortion stage enabled "
+              f"(probs={host_stage.probs})")
+        batcher = StagedBatcher(batcher, host_stage)
 
     cfg = vars(opts).copy()
     cfg.update(bpe=bpe, va_bpe=max(bpe // 10, 1),
