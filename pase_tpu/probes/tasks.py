@@ -174,3 +174,63 @@ def write_posteriors_ark(model_vars, utt_feats: Dict[str, np.ndarray],
             for row in mat:
                 f.write("  " + " ".join(f"{v:.6f}" for v in row) + "\n")
             f.write("]\n")
+
+
+def run_kfold_classification(fe_cfg, fe_ckpt, data_list, data_root="",
+                             folds=10, valid_p=0.1, mode="avg_concat",
+                             hidden=(), epochs: int = 15, lr: float = 0.05,
+                             batch_size: int = 2048, seed: int = 0,
+                             max_utts: Optional[int] = None, log=print,
+                             feature_type: str = "pase"):
+    """K-fold utterance classification (the emorec/train.py recipe over
+    pase/utils.py kfold_data): class-stratified folds, a linear (or MLP,
+    via ``hidden``) frame classifier on frozen features per fold —
+    LinearClassifier semantics of spk_id/nnet.py:24-50 — reporting
+    mean +- std frame/sentence accuracy across folds."""
+    from pase_tpu.utils import kfold_data
+
+    entries = _read_list(data_list)[:max_utts]
+    utt2class = {p: l for p, l in entries}
+    labels = sorted(set(utt2class.values()))
+    lab2i = {l: i for i, l in enumerate(labels)}
+    ex = FeatureExtractor(fe_cfg, fe_ckpt, mode=mode,
+                          feature_type=feature_type)
+    feats = {p: ex.extract_file(os.path.join(data_root, p))
+             for p, _ in entries}
+    splits = kfold_data([p for p, _ in entries], utt2class, folds=folds,
+                        valid_p=valid_p, seed=seed)
+    frame_accs, sent_accs = [], []
+    for fi, (tr, va, te) in enumerate(splits):
+        mean, std = _global_norm([feats[p] for p in tr])
+
+        def flat(paths):
+            fs = [(feats[p] - mean) / std for p in paths]
+            ys = [lab2i[utt2class[p]] for p in paths]
+            x = np.concatenate(fs, axis=0)
+            y = np.concatenate([np.full(len(f), yy)
+                                for f, yy in zip(fs, ys)])
+            return fs, ys, x, y.astype(np.int32)
+
+        _, _, x_tr, y_tr = flat(tr)
+        te_f, te_y, x_te, y_te = flat(te)
+        model_vars, metrics = train_mlp_probe(
+            x_tr, y_tr, x_te, y_te, num_classes=len(labels),
+            hidden=tuple(hidden), epochs=epochs, lr=lr,
+            batch_size=batch_size, seed=seed + fi, log=None)
+        fa = 1.0 - metrics["dev_frame_error"]
+        sa = sentence_accuracy(model_vars, te_f, te_y)
+        frame_accs.append(fa)
+        sent_accs.append(sa)
+        if log:
+            log(f"fold {fi}: frame acc {fa:.4f}, sentence acc {sa:.4f}")
+    out = {
+        "folds": folds,
+        "frame_acc_mean": float(np.mean(frame_accs)),
+        "frame_acc_std": float(np.std(frame_accs)),
+        "sentence_acc_mean": float(np.mean(sent_accs)),
+        "sentence_acc_std": float(np.std(sent_accs)),
+    }
+    if log:
+        log(f"KFOLD: sentence acc {out['sentence_acc_mean']:.4f} "
+            f"+- {out['sentence_acc_std']:.4f}")
+    return out

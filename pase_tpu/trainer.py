@@ -227,6 +227,19 @@ class Trainer:
         from pase_tpu.precision import compute_dtype, resolve
         cdt = resolve(self.cfg.get("compute_dtype"))
         log_grads = bool(self.cfg.get("log_grad_norms", False))
+        log_hists = bool(self.cfg.get("log_histograms", False))
+
+        def _hist(x, bins=24):
+            # in-graph fixed-bin histogram over the value range
+            # (reference add_histogram observability, trainer.py:398-413)
+            x = jnp.ravel(x).astype(jnp.float32)
+            lo, hi = jnp.min(x), jnp.max(x)
+            edges = lo + (hi - lo + 1e-9) * jnp.arange(bins + 1) / bins
+            idx = jnp.clip(jnp.searchsorted(edges, x, side="right") - 1,
+                           0, bins - 1)
+            counts = jnp.zeros((bins,), jnp.int32).at[idx].add(1)
+            return jnp.concatenate([jnp.stack([lo, hi]),
+                                    counts.astype(jnp.float32)])
 
         def train_step(state: TrainState, raw_batch):
             # trace-time mixed-precision policy (bf16 MXU passes, f32
@@ -270,6 +283,13 @@ class Trainer:
                     pp = collect_sown(ups, "vq_perplexity")
                     if pp:
                         losses["vq_perplexity"] = sum(pp) / len(pp)
+                if log_hists:
+                    # pred/target distributions per worker ([lo, hi,
+                    # bin counts...] rows in the JSONL; the reference's
+                    # tensorboard add_histogram, trainer.py:398-413)
+                    for n in ordered:
+                        losses[f"hist/{n}"] = _hist(preds[n])
+                        losses[f"hist/gtruth_{n}"] = _hist(labels[n])
                 fake = None
                 if gan_cfg is not None:
                     # generator objective: D(fake) should look real; D
@@ -410,8 +430,9 @@ class Trainer:
                 staged = stage(next(it))
                 state, losses = self._train_step(state, raw)
                 if bidx % self.log_freq == 0 or bidx >= bpe:
-                    last_losses = {k: float(v) for k, v in
-                                   jax.device_get(losses).items()}
+                    last_losses = {
+                        k: (v if getattr(v, "ndim", 0) > 0 else float(v))
+                        for k, v in jax.device_get(losses).items()}
                     gstep = e * bpe + bidx
                     self.logger.log("train", gstep, last_losses)
                     # NaN guard (the reference's commented-out
@@ -472,6 +493,8 @@ class Trainer:
         so a preempted run resumes with bit-identical optimization
         (reference Saver semantics, modules.py:151-301)."""
         from pase_tpu.checkpoint import train_state_to_tree
+        if jax.process_index() != 0:
+            return      # multi-host: one writer (state is replicated)
         host = jax.device_get(state)
         step = int(host.step)
         self.saver.save(self.name, train_state_to_tree(host), step)

@@ -51,3 +51,38 @@ def sample_probable(p, rng=np.random):
 
 def zerospeech(n_samples: int, rng=np.random):
     return (rng.randn(n_samples) * 1e-5).astype(np.float32)
+
+
+def kfold_data(data_list, utt2class, folds=10, valid_p=0.1, seed=0):
+    """Class-stratified sliding-window k-fold splits
+    (/root/reference/pase/utils.py:122-162): shuffle within class, slide
+    a 1/folds test window per class, carve a valid split out of the
+    remaining train items. Returns [[train, valid, test], ...] x folds.
+
+    Deviation: the reference draws valid from the head of the ALREADY
+    valid-trimmed train list, so its valid overlaps train; here valid
+    and train are disjoint (the documented intent).
+    """
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    classes = sorted(set(utt2class.values()))
+    items = {k: [d for d in data_list if utt2class[d] == k]
+             for k in classes}
+    for k in classes:
+        items[k] = [items[k][i] for i in rng.permutation(len(items[k]))]
+    test_n = {k: max(int((1.0 / folds) * len(items[k])), 1)
+              for k in classes}
+    lists = []
+    for fi in range(folds):
+        train_split, valid_split, test_split = [], [], []
+        for k in classes:
+            data = items[k]
+            beg = (fi * test_n[k]) % max(len(data), 1)
+            te = data[beg:beg + test_n[k]]
+            rest = data[:beg] + data[beg + test_n[k]:]
+            nv = int(valid_p * len(rest))
+            valid_split += rest[:nv]
+            train_split += rest[nv:]
+            test_split += te
+        lists.append([train_split, valid_split, test_split])
+    return lists

@@ -28,11 +28,15 @@ import sys
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("task", choices=["utt", "frames", "knn", "timit-full"])
+    p.add_argument("task", choices=["utt", "frames", "knn", "timit-full",
+                                    "kfold"])
+    p.add_argument("--folds", type=int, default=10)
+    p.add_argument("--valid_p", type=float, default=0.1)
     p.add_argument("--fe_cfg", required=True)
     p.add_argument("--fe_ckpt", default=None)
     p.add_argument("--train_list", required=True)
-    p.add_argument("--test_list", required=True)
+    p.add_argument("--test_list", required=False, default=None,
+                   help="required for all tasks except kfold")
     p.add_argument("--data_root", default="")
     p.add_argument("--mode", default="avg_concat")
     p.add_argument("--feature_type", default="pase",
@@ -57,6 +61,9 @@ def main():
 
     from pase_tpu.probes import tasks
 
+    if opts.task != "kfold" and not opts.test_list:
+        p.error(f"task {opts.task} requires --test_list")
+
     if opts.task == "timit-full":
         from pase_tpu.probes.timit_decode import run_timit_full_decoding
         if not (opts.mlp_cfg and opts.dec_cfg):
@@ -74,7 +81,18 @@ def main():
                           f)
         return
 
-    if opts.task == "utt":
+    if opts.task == "kfold":
+        # class-stratified k-fold LinearClassifier suite (emorec recipe);
+        # --train_list doubles as the single labeled list
+        metrics = tasks.run_kfold_classification(
+            opts.fe_cfg, opts.fe_ckpt, opts.train_list,
+            data_root=opts.data_root, folds=opts.folds,
+            valid_p=opts.valid_p, mode=opts.mode,
+            hidden=tuple(opts.hidden) if opts.hidden != [256] else (),
+            epochs=opts.epochs, lr=opts.lr, batch_size=opts.batch_size,
+            seed=opts.seed, max_utts=opts.max_utts,
+            feature_type=opts.feature_type)
+    elif opts.task == "utt":
         metrics = tasks.run_utt_classification(
             opts.fe_cfg, opts.fe_ckpt, opts.train_list, opts.test_list,
             data_root=opts.data_root, mode=opts.mode,

@@ -139,3 +139,101 @@ def test_kmeans():
     for i in range(3):
         seg = a[i * 50:(i + 1) * 50]
         assert (seg == np.bincount(seg).argmax()).mean() > 0.95
+
+
+def test_histogram_logging(tmp_path):
+    """cfg log_histograms=True emits [lo, hi, counts...] rows per worker
+    (reference tensorboard add_histogram parity, trainer.py:398-413)."""
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.parallel.mesh import get_mesh, shard_batch
+    from tests.test_train_step import SMALL_WORKERS, SMALL_FRONTEND
+    cfg = dict(backprop_mode="base", hop=160, bpe=2, epoch=1,
+               batch_size=8, chunk_size=4800, log_freq=1,
+               save_path=str(tmp_path), log_histograms=True)
+    tr = Trainer(SMALL_FRONTEND, SMALL_WORKERS, cfg, mesh=get_mesh())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    raw = shard_batch({k: jnp.asarray(v) for k, v in
+                       next(iter(SyntheticChunkBatcher(8, 4800))).items()},
+                      tr.mesh)
+    state, losses = step(state, raw)
+    l = jax.device_get(losses)
+    for name in ("mfcc", "mi"):
+        h = np.asarray(l[f"hist/{name}"])
+        g = np.asarray(l[f"hist/gtruth_{name}"])
+        assert h.shape == (26,) and g.shape == (26,)   # lo, hi, 24 bins
+        assert h[1] >= h[0]                            # hi >= lo
+        assert h[2:].sum() > 0 and g[2:].sum() > 0
+    # the logger serializes array-valued scalars as JSON lists
+    tr.logger.log("train", 1, l)
+    import json as _json
+    rec = _json.loads(open(tmp_path / "metrics.jsonl").read().splitlines()[-1])
+    assert isinstance(rec["hist/mfcc"], list) and len(rec["hist/mfcc"]) == 26
+
+
+def test_encode_codec2_cli(tmp_path):
+    import argparse
+    import util_scripts
+    ind = tmp_path / "in"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    for i in range(3):
+        write_wav(str(ind / f"u{i}.wav"),
+                  np.random.RandomState(i).randn(3200).astype(np.float32)
+                  * 0.1)
+    opts = argparse.Namespace(input_dir=str(ind), output_dir=str(outd),
+                              kbps=1600, num_workers=2)
+    util_scripts.encode_codec2(opts)
+    assert sorted(os.listdir(outd)) == ["u0.wav", "u1.wav", "u2.wav"]
+
+
+def test_prosodic_eval_cli(tmp_path):
+    """Train one tiny step with a prosody worker, save, then evaluate the
+    prosody head via the CLI path (util_scripts/prosodic_eval.py)."""
+    import argparse
+    import util_scripts
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.parallel.mesh import get_mesh, shard_batch
+    wk = {"regr": [{"num_outputs": 12, "dropout": 0, "hidden_size": 32,
+                    "hidden_layers": 1, "name": "prosody", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": []}
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    cfg = dict(backprop_mode="base", hop=160, bpe=1, epoch=1,
+               batch_size=8, chunk_size=3200, log_freq=1,
+               save_path=str(tmp_path / "ck"))
+    tr = Trainer(fe, wk, cfg, mesh=get_mesh())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    raw = shard_batch({k: jnp.asarray(v) for k, v in
+                       next(iter(SyntheticChunkBatcher(8, 3200))).items()},
+                      tr.mesh)
+    state, _ = step(state, raw)
+    tr.save(state, 0)
+    ckpt = os.path.join(cfg["save_path"],
+                        "weights_PASE-Pase_base-1.npz")
+    assert os.path.exists(ckpt)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    lines = []
+    for i in range(2):
+        write_wav(str(wav_dir / f"u{i}.wav"),
+                  (np.sin(2 * np.pi * 150 * np.arange(4800) / 16000)
+                   * 0.2).astype(np.float32))
+        lines.append(f"u{i}.wav\n")
+    lst = tmp_path / "wavs.lst"
+    lst.write_text("".join(lines))
+    fe_p, wk_p = str(tmp_path / "fe.cfg"), str(tmp_path / "wk.cfg")
+    json.dump(fe, open(fe_p, "w"))
+    json.dump(wk, open(wk_p, "w"))
+    opts = argparse.Namespace(fe_cfg=fe_p, net_cfg=wk_p, ckpt=ckpt,
+                              wav_list=str(lst), data_root=str(wav_dir),
+                              stats=None, max_utts=None,
+                              out_file=str(tmp_path / "proso.json"))
+    res = util_scripts.prosodic_eval(opts)
+    for k in ("lf0_rmse", "egy_rmse", "zcr_rmse", "uv_acc"):
+        assert np.isfinite(res[k]), res
+    assert os.path.exists(tmp_path / "proso.json")

@@ -128,3 +128,20 @@ def test_rnn_classifier(cell):
     assert y.shape == (2, 20, 3)
     s = np.exp(np.asarray(y)).sum(-1)
     np.testing.assert_allclose(s, 1.0, atol=1e-4)
+
+
+def test_kfold_classification_probe(synth_corpus):
+    """Class-stratified k-fold linear-classifier suite
+    (pase/utils.py kfold_data + spk_id LinearClassifier semantics)."""
+    # single labeled list: train+test combined
+    combined = synth_corpus / "all.lst"
+    lines = []
+    for split in ("train", "test"):
+        lines += open(synth_corpus / f"{split}.lst").readlines()
+    combined.write_text("".join(lines))
+    metrics = tasks.run_kfold_classification(
+        SMALL_FE, None, str(combined), data_root=str(synth_corpus),
+        folds=3, hidden=(), epochs=8, lr=0.05, batch_size=256, log=None)
+    assert metrics["folds"] == 3
+    assert 0.0 <= metrics["sentence_acc_mean"] <= 1.0
+    assert metrics["sentence_acc_mean"] >= 0.6, metrics

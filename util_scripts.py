@@ -257,6 +257,95 @@ def project_features(opts):
           f"{ev.round(3).tolist()}")
 
 
+def encode_codec2(opts):
+    """Pre-encode a wav directory through the codec2 round trip — the
+    distortion-cache builder (util_scripts/encode_codec2.py). Degrades to
+    identity (with a warning) when codec2 tooling is absent."""
+    import glob
+    from concurrent.futures import ThreadPoolExecutor
+    from pase_tpu.data.host_distortions import Codec2RoundTrip
+    from pase_tpu.data.io import read_wav, write_wav
+
+    c2 = Codec2RoundTrip(kbps=opts.kbps)
+    wavs = sorted(glob.glob(os.path.join(opts.input_dir, "*.wav")))
+    os.makedirs(opts.output_dir, exist_ok=True)
+
+    def one(path):
+        x, sr = read_wav(path)
+        y = c2(x.astype(np.float32))
+        write_wav(os.path.join(opts.output_dir, os.path.basename(path)),
+                  y, sr)
+
+    with ThreadPoolExecutor(max_workers=opts.num_workers) as pool:
+        list(pool.map(one, wavs))
+    print(f"encoded {len(wavs)} wavs -> {opts.output_dir}"
+          + ("" if c2.available else " (identity: codec2 unavailable)"))
+
+
+def prosodic_eval(opts):
+    """Prosody-worker regression quality on a wav list
+    (util_scripts/prosodic_eval.py): forward encoder + prosody head,
+    z-denorm, report logF0/energy/zcr RMSE and U/V accuracy against the
+    on-device ground-truth prosody targets. Column order [lf0, uv, egy,
+    zcr] (ops/features.prosody)."""
+    import json as _json
+    import jax
+    import jax.numpy as jnp
+    from pase_tpu.model import build_pase
+    from pase_tpu.checkpoint import load_variables
+    from pase_tpu.ops.features import prosody
+    from pase_tpu.data.io import read_wav
+    from pase_tpu.data.pipeline import load_stats_pkl
+
+    with open(opts.net_cfg) as f:
+        wk_cfg = json.load(f)
+    model, meta = build_pase(json.load(open(opts.fe_cfg)), wk_cfg)
+    tree, _ = load_variables(opts.ckpt)
+    variables = {"params": tree["params"],
+                 "batch_stats": tree.get("batch_stats", {})}
+    stats = load_stats_pkl(opts.stats) if opts.stats else None
+
+    idx = [e["name"] for e in meta["regr"]].index("prosody")
+
+    def fwd(wav):
+        h = model.apply(variables, wav,
+                        method=lambda m, w: m.frontend(w, train=False))
+        return model.apply(
+            variables, h,
+            method=lambda m, hh: m.regression_workers[idx](
+                hh, 1.0, train=False))
+
+    rmse = {"lf0": [], "egy": [], "zcr": []}
+    uv_acc = []
+    with open(opts.wav_list) as f:
+        paths = [l.split()[0] for l in f if l.strip()][:opts.max_utts]
+    for p in paths:
+        wav, _ = read_wav(os.path.join(opts.data_root, p))
+        t = (len(wav) // 160) * 160
+        x = jnp.asarray(wav[None, :t], jnp.float32)
+        pred = np.asarray(fwd(x))[0]                 # [F, 4(+deltas)]
+        truth = np.asarray(prosody(x))[0]
+        if stats and "prosody" in stats:
+            mean = np.asarray(stats["prosody"]["mean"]).reshape(-1)
+            std = np.asarray(stats["prosody"]["std"]).reshape(-1)
+            pred = pred * std[:pred.shape[1]] + mean[:pred.shape[1]]
+        n = min(len(pred), len(truth))
+        pred, truth = pred[:n], truth[:n]
+        for col, name in ((0, "lf0"), (2, "egy"), (3, "zcr")):
+            rmse[name].append(
+                float(np.sqrt(np.mean((pred[:, col] - truth[:, col]) ** 2))))
+        uv_acc.append(float((np.round(np.clip(pred[:, 1], 0, 1))
+                             == truth[:, 1]).mean()))
+    res = {f"{k}_rmse": float(np.mean(v)) for k, v in rmse.items()}
+    res["uv_acc"] = float(np.mean(uv_acc))
+    res["n_utts"] = len(paths)
+    print(_json.dumps(res))
+    if opts.out_file:
+        with open(opts.out_file, "w") as f:
+            _json.dump(res, f)
+    return res
+
+
 def export_torch(opts):
     """Export a native FE_e*.npz encoder ckpt to a torch state dict with
     reference key names, so reference-side tooling can consume it."""
@@ -367,12 +456,30 @@ def main():
     pf.add_argument("--max_utts", type=int, default=None)
     pf.add_argument("--out_file", default="projected.npy")
 
+    ec = sub.add_parser("encode-codec2")
+    ec.add_argument("input_dir")
+    ec.add_argument("output_dir")
+    ec.add_argument("--kbps", type=int, default=1600)
+    ec.add_argument("--num_workers", type=int, default=8)
+
+    pe = sub.add_parser("prosodic-eval")
+    pe.add_argument("--fe_cfg", required=True)
+    pe.add_argument("--net_cfg", required=True)
+    pe.add_argument("--ckpt", required=True,
+                    help="full PASE checkpoint (weights_PASE-*.npz)")
+    pe.add_argument("--wav_list", required=True)
+    pe.add_argument("--data_root", default="")
+    pe.add_argument("--stats", default=None)
+    pe.add_argument("--max_utts", type=int, default=None)
+    pe.add_argument("--out_file", default=None)
+
     opts = p.parse_args()
     {"forward-chunk": forward_chunk, "eval-ckpts": eval_ckpts,
      "clusterize": clusterize, "make-fbanks": make_fbanks,
      "export-torch": export_torch, "vadproc": vadproc,
      "make-contaminated": make_contaminated, "select-ckpt": select_ckpt,
-     "project-features": project_features}[opts.cmd](opts)
+     "project-features": project_features, "encode-codec2": encode_codec2,
+     "prosodic-eval": prosodic_eval}[opts.cmd](opts)
 
 
 if __name__ == "__main__":
