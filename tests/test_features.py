@@ -184,3 +184,75 @@ def test_kaldi_dispatch():
     assert yp.shape == (1, 30, 20)
     assert F.feature_dim_for_worker("kaldiplp",
                                     {"num_ceps": 20, "der_order": 0}) == 20
+
+
+# ---------------------------------------------------------------------------
+# golden regression fixtures + scipy oracles (round-2 parity evidence)
+# ---------------------------------------------------------------------------
+
+def test_golden_feature_regression():
+    """Every worker-target feature matches its frozen golden output
+    (tests/fixtures/features_golden.npz, regenerate via
+    tests/make_golden_features.py) — refactors cannot silently drift."""
+    import os
+    from pase_tpu.ops import kaldi_feats as KF
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "features_golden.npz")
+    data = np.load(path)
+    x = jnp.asarray(data["input"])
+    fns = {"lps": F.lps, "mfcc": F.mfcc, "fbanks": F.fbanks,
+           "gammatone": F.gammatone, "prosody": F.prosody, "lpc": F.lpc,
+           "kaldimfcc": KF.kaldi_mfcc, "kaldiplp": KF.kaldi_plp}
+    for name, fn in fns.items():
+        got = np.asarray(fn(x))
+        want = data[name]
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4,
+                                   err_msg=name)
+
+
+def test_fft_convolve_full_scipy_oracle():
+    """Distortion-engine convolution == scipy.signal.fftconvolve."""
+    from scipy import signal as ss
+    from pase_tpu.ops.signal import fft_convolve_full
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 500).astype(np.float32)
+    h = rng.randn(2, 64).astype(np.float32)
+    got = np.asarray(fft_convolve_full(jnp.asarray(x), jnp.asarray(h)))
+    for i in range(2):
+        want = ss.fftconvolve(x[i], h[i], mode="full")
+        np.testing.assert_allclose(got[i][:len(want)], want,
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_linear_resample_scipy_oracle():
+    """Speed-change resampler == np.interp at positions i*scale clipped
+    to the source grid (reference transforms.py:2327-2367 semantics)."""
+    from pase_tpu.ops.signal import linear_resample
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 400).astype(np.float32)
+    for scale in (0.8, 1.0, 1.17):
+        t_out = 400
+        got = np.asarray(linear_resample(
+            jnp.asarray(x), jnp.asarray([scale], jnp.float32), t_out))[0]
+        pos = np.clip(np.arange(t_out) * scale, 0.0, 399.0)
+        want = np.interp(pos, np.arange(400), x[0])
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_gammatone_fir_scipy_oracle():
+    """Gammatone FIR taps == the closed-form 4th-order gammatone impulse
+    response evaluated with scipy/numpy double precision."""
+    from pase_tpu.ops.features import gammatone_fir_bank, erb_centre_freqs
+    fs, n_ch, f_min = 16000, 8, 500
+    taps = np.asarray(gammatone_fir_bank(fs, n_ch, f_min, n_taps=512))
+    cfs = erb_centre_freqs(fs, n_ch, f_min)
+    t = np.arange(512, dtype=np.float64) / fs
+    for i, cf in enumerate(cfs):
+        erb = 24.7 + cf / 9.265          # Glasberg & Moore
+        b = 1.019 * 2 * np.pi * erb
+        ir = t ** 3 * np.exp(-b * t) * np.cos(2 * np.pi * cf * t)
+        # compare normalized shapes (the bank normalizes gain internally)
+        a, bb = taps[i] / np.linalg.norm(taps[i]), ir / np.linalg.norm(ir)
+        corr = abs(np.dot(a, bb))
+        assert corr > 0.99, (i, cf, corr)
