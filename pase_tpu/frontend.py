@@ -25,15 +25,22 @@ from pase_tpu.nn import (FeBlock, FeResBlock, Conv1D, QRNN, BatchNorm1d,
                          InstanceNorm1d, build_norm)
 
 
-def fuse_skip(y, skip, densemerge="sum"):
-    """Fuse a higher-rate skip into y by mean-pool downsampling
-    (frontend.py:213-232). NTC layout."""
-    dfactor = skip.shape[1] // y.shape[1]
+def pool_to(skip, out_len: int):
+    """Mean-pool downsample to out_len frames (fuse_skip semantics,
+    reference frontend.py:213-232: factor = realized length ratio,
+    trailing remainder dropped). NTC layout."""
+    dfactor = skip.shape[1] // out_len
     if dfactor > 1:
-        maxlen = y.shape[1] * dfactor
+        maxlen = out_len * dfactor
         skip = skip[:, :maxlen]
         b, t, c = skip.shape
         skip = skip.reshape(b, t // dfactor, dfactor, c).mean(axis=2)
+    return skip
+
+
+def fuse_skip(y, skip, densemerge="sum"):
+    """Fuse a (possibly higher-rate) skip into y (frontend.py:213-232)."""
+    skip = pool_to(skip, y.shape[1])
     if densemerge == "concat":
         return jnp.concatenate([y, skip], axis=-1)
     if densemerge == "sum":
@@ -106,9 +113,14 @@ class WaveFe(nn.Module):
                             sincnet=sinc_here, sr=self.sr,
                             name=f"blocks_{i}")(h, train=train)
             if self.denseskips and (i + 1) < nblocks:
-                proj = Conv1D(self.emb_dim, 1, use_bias=False,
-                              name=f"denseskips_{i}")(h)
-                dskips.append(proj)
+                # The 1x1 projection is bias-free and the skip fuse
+                # downsamples by mean-pooling — both linear, so pooling
+                # FIRST is exactly the same function. Projecting at the
+                # block rate would cost ~100 GFLOP + a 1.6 GB activation
+                # at block 0 (B=96, T=32000); pooled first it is ~0.6
+                # GFLOP. The projection itself is applied at fuse time
+                # (after y fixes the output length).
+                dskips.append(h)
         if self.rnn_pool:
             rnn_dim = self.rnn_dim if self.rnn_dim is not None else self.emb_dim
             # reference bidirectional quirk: QRNN ignores the flag and
@@ -116,8 +128,11 @@ class WaveFe(nn.Module):
             h = QRNN(hidden=rnn_dim, layers=self.rnn_layers,
                      impl=self.qrnn_impl, name="rnn")(h)
         y = Conv1D(self.emb_dim, 1, name="W")(h)
-        for dskip in dskips:
-            y = fuse_skip(y, dskip, self.densemerge)
+        for i, dskip in enumerate(dskips):
+            pooled = pool_to(dskip, y.shape[1])
+            proj = Conv1D(self.emb_dim, 1, use_bias=False,
+                          name=f"denseskips_{i}")(pooled)
+            y = fuse_skip(y, proj, self.densemerge)
         if self.norm_out:
             if self.norm_type == "bnorm":
                 y = BatchNorm1d(self.output_dim, affine=False,

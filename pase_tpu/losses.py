@@ -27,6 +27,85 @@ def contextualize_r(gtruth, r: Optional[int]):
     return win.reshape(b, t, d * r)
 
 
+def framed_mse_linear(kernel, bias, h, target, r: Optional[int]):
+    """r-framed MSE of a linear head WITHOUT materializing the prediction.
+
+    Computes mean((h @ W + b - frame_r(target))^2) — exactly the
+    composition of a kwidth-1 Conv1D head with ``make_loss('MSELoss', r)``
+    — via the algebraic expansion ||p||^2 - 2<p, T_f> + ||T_f||^2:
+
+      * ||p||^2  through the [H, H] Gram of h and the summed per-offset
+        Gram of W (two small matmuls instead of a [B, T, D*r] tensor),
+      * <p, T_f> through r shifted [H, D] matmuls whose outputs are only
+        [B, T, D],
+      * ||T_f||^2 from per-frame window counts on the raw target.
+
+    For the PASE+ lps/lps_long heads (D*r = 21525 channels) the giant
+    [B, T, 21525] prediction never hits HBM: measured 2.8 ms vs 12.7 ms
+    per step for the two heads fwd+bwd on a v5e chip
+    (experiments/profile_lps2.py). Numerics: identical to the
+    materialized path up to accumulation order (f32 rel diff ~1e-6 on
+    values; gradient differences are at matmul-precision level).
+
+    Args:
+      kernel: [1, H, D*r] (Conv1D layout) or [H, D*r], d-major channel
+        order (c = d*r + j, the reference ContextualizedLoss ordering).
+      bias:   [D*r] or None.
+      h:      [B, T, H] head input (the last hidden activation).
+      target: [B, T, D] unframed ground truth.
+    """
+    if kernel.ndim == 3:
+        kernel = kernel[0]
+    rr = int(r) if r else 1
+    b, t, hdim = h.shape
+    d = kernel.shape[1] // rr
+    pad_l = rr // 2
+    w = kernel.reshape(hdim, d, rr)
+    cd = h.dtype if h.dtype != jnp.float32 else jnp.float32
+    f32 = jnp.float32
+    wc = w.astype(cd)
+    n_elems = b * t * d * rr
+
+    # ||p||^2 = tr(Gram(h) . sum_j W_j W_j^T) + 2 sum(h)Wb + B*T*||b||^2
+    g = jnp.einsum("bth,btk->hk", h, h, preferred_element_type=f32)
+    wg = jnp.einsum("hdj,kdj->hk", wc, wc, preferred_element_type=f32)
+    p2 = jnp.sum(g * wg)
+    if bias is not None:
+        hsum = jnp.sum(h.astype(f32), axis=(0, 1))                  # [H]
+        p2 = p2 + 2.0 * jnp.dot(jnp.dot(hsum, kernel.astype(f32)),
+                                bias.astype(f32))
+        p2 = p2 + b * t * jnp.sum(jnp.square(bias.astype(f32)))
+
+    # <p, T_f>: window t, offset j lands on target frame tau = t + j - pad_l
+    # (zero outside [0, T), matching contextualize_r's zero padding), so
+    # q_j[tau] = h[tau + sh] @ W_j with sh = pad_l - j.
+    tgt32 = target.astype(f32)
+    cross = 0.0
+    if bias is not None:
+        bmat = bias.reshape(d, rr).astype(f32)
+    for j in range(rr):
+        sh = pad_l - j
+        hs = jnp.roll(h, -sh, axis=1)
+        if sh > 0:
+            hs = hs.at[:, t - sh:].set(0)
+        elif sh < 0:
+            hs = hs.at[:, :-sh].set(0)
+        qj = hs @ wc[:, :, j]                                       # [B,T,D]
+        cross = cross + jnp.sum(qj.astype(f32) * tgt32)
+        lo, hi = max(0, j - pad_l), min(t, t + j - pad_l)
+        if bias is not None:
+            tsum = jnp.sum(tgt32[:, lo:hi], axis=(0, 1))            # [D]
+            cross = cross + jnp.dot(tsum, bmat[:, j])
+
+    # ||T_f||^2: target frame tau appears in cnt[tau] windows
+    cnt = np.zeros(t, np.float32)
+    for j in range(rr):
+        cnt[max(0, j - pad_l):min(t, t + j - pad_l)] += 1.0
+    t2 = jnp.sum(jnp.asarray(cnt)[None, :, None] * jnp.square(tgt32))
+
+    return (p2 - 2.0 * cross + t2) / n_elems
+
+
 def mse_loss(pred, target):
     return jnp.mean(jnp.square(pred - target))
 

@@ -44,8 +44,36 @@ def _scale_grad_bwd(alpha, g):
 scale_grad.defvjp(_scale_grad_fwd, _scale_grad_bwd)
 
 
+class _LinearTap(nn.Module):
+    """Creates the SAME params as ``Conv1D(features, kwidth, name=...)``
+    (identical names, shapes, and init draws) but returns them instead of
+    applying the conv — lets a fused head+loss path (losses.py
+    framed_mse_linear) consume W directly while staying checkpoint-
+    compatible with the materializing path."""
+    features: int
+    kwidth: int = 1
+
+    @nn.compact
+    def __call__(self, cin: int):
+        bound = 1.0 / np.sqrt(cin * self.kwidth)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.kwidth, cin, self.features))
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.features,))
+        return kernel, bias
+
+
 class MLPMinion(nn.Module):
-    """Conv-MLP head: [B, T, C] -> [B, T, num_outputs * r]."""
+    """Conv-MLP head: [B, T, C] -> [B, T, num_outputs * r].
+
+    With ``return_linear=True`` (requires a kwidth-1 final conv, i.e.
+    context==1 or >=1 hidden layer) the final W matmul is NOT applied;
+    the call returns ``("linear", h, kernel, bias)`` for a fused
+    head+loss consumer. Parameters are identical either way."""
     num_outputs: int
     hidden_size: int = 256
     hidden_layers: int = 2
@@ -62,7 +90,8 @@ class MLPMinion(nn.Module):
     skip: bool = True
 
     @nn.compact
-    def __call__(self, x, alpha=1.0, train: bool = False):
+    def __call__(self, x, alpha=1.0, train: bool = False,
+                 return_linear: bool = False):
         x = scale_grad(x, alpha)
         if self.dropout_time > 0 and self.context > 1 and train:
             key = self.make_rng("dropout")
@@ -81,6 +110,13 @@ class MLPMinion(nn.Module):
                          drop_channels=self.drop_channels,
                          name=f"blocks_{i}")(h, train=train)
             ctx = 1
+        if return_linear:
+            if ctx != 1:
+                raise ValueError("return_linear requires a kwidth-1 final "
+                                 "conv (context==1 or hidden_layers>=1)")
+            kernel, bias = _LinearTap(self.num_outputs * self.r, ctx,
+                                      name="W")(h.shape[-1])
+            return ("linear", h, kernel, bias)
         pad = ctx // 2
         if pad:
             h_in = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))

@@ -109,6 +109,13 @@ class PASE(nn.Module):
     att_cfg: Any = None          # pase_attention (pase.py:17-130)
     chunking_K: Any = None       # pase_chunking fixed masks (pase.py:133-236)
     chunking_seed: int = 0
+    # fused head+loss: MLP regression heads with an MSE loss and at least
+    # this many output channels (num_outputs * r) skip materializing their
+    # prediction — worker_losses computes the r-framed MSE directly from
+    # (hidden, W) via losses.framed_mse_linear. 0 disables. Parameters and
+    # loss values are unchanged (up to accumulation order); preds[name]
+    # becomes a ("linear", h, kernel, bias) tuple for these workers.
+    fused_mse_min_ch: int = 0
 
     def setup(self):
         from pase_tpu.frontend import build_frontend_module
@@ -243,7 +250,11 @@ class PASE(nn.Module):
         for e, worker in zip(self._regr_meta, self.regression_workers):
             name = e["name"]
             wchunk, _ = worker_view(name)
-            y = worker(wchunk, a_of(widx), train=train)
+            if _fuse_eligible(e, self.fused_mse_min_ch):
+                y = worker(wchunk, a_of(widx), train=train,
+                           return_linear=True)
+            else:
+                y = worker(wchunk, a_of(widx), train=train)
             preds[name] = y
             target = batch[name]
             if name in ("chunk", "cchunk"):
@@ -278,21 +289,55 @@ def collect_sown(ups, key: str):
     return out
 
 
+def _fuse_eligible(e: dict, min_ch: int) -> bool:
+    """A regr worker can use the fused linear-head MSE path when its head
+    is a plain MLP ending in a kwidth-1 conv, the loss is MSE, and the
+    output width clears the threshold (below it, materializing is cheap
+    and large-matmul fusion has nothing to win)."""
+    if min_ch <= 0 or e.get("type", "mlp") != "mlp":
+        return False
+    if e.get("loss") != "MSELoss" or e["name"] in ("chunk", "cchunk"):
+        return False
+    if int(e.get("context", 1) or 1) != 1 and \
+            int(e.get("hidden_layers", 2) or 0) < 1:
+        return False
+    r = int(e.get("r", 1) or 1)
+    return int(e.get("num_outputs", 1)) * max(r, 1) >= min_ch
+
+
+def materialize_pred(pred):
+    """Apply the deferred final linear of a fused head ("linear", h, W, b)
+    — for histogram logging / external consumers; identity otherwise."""
+    if isinstance(pred, tuple) and len(pred) == 4 and pred[0] == "linear":
+        _, h, kernel, bias = pred
+        y = h @ kernel[0].astype(h.dtype)
+        return y + bias.astype(y.dtype)
+    return pred
+
+
 def worker_losses(model_meta, preds, labels):
     """Per-worker losses as a dict; loss fns from each worker cfg."""
+    from pase_tpu.losses import framed_mse_linear
     losses = {}
     for group in ("cls", "regr", "regu"):
         for e in model_meta[group]:
             name = e["name"]
             r = e.get("r") if group == "regr" else None
-            fn = make_loss(e["loss"], r=r)
-            losses[name] = e.get("loss_weight", 1.0) * fn(preds[name],
-                                                          labels[name])
+            pred = preds[name]
+            if isinstance(pred, tuple) and len(pred) == 4 and \
+                    pred[0] == "linear":
+                _, h, kernel, bias = pred
+                val = framed_mse_linear(kernel, bias, h, labels[name], r)
+            else:
+                fn = make_loss(e["loss"], r=r)
+                val = fn(pred, labels[name])
+            losses[name] = e.get("loss_weight", 1.0) * val
     return losses
 
 
 def build_pase(frontend_cfg, workers_cfg, att_cfg=None,
-               chunking_K=None) -> Tuple[PASE, Dict[str, Any]]:
+               chunking_K=None,
+               fused_mse_min_ch: int = 0) -> Tuple[PASE, Dict[str, Any]]:
     """Construct the model + normalized metadata from JSON cfgs/paths.
     att_cfg selects the pase_attention variant; chunking_K the
     pase_chunking variant (trainer.py:51-71 dispatch in the reference)."""
@@ -307,7 +352,8 @@ def build_pase(frontend_cfg, workers_cfg, att_cfg=None,
     model = PASE(frontend_cfg=_freeze(frontend_cfg),
                  workers_cfg=_freeze(meta),
                  att_cfg=_freeze(att_cfg) if att_cfg else None,
-                 chunking_K=chunking_K)
+                 chunking_K=chunking_K,
+                 fused_mse_min_ch=int(fused_mse_min_ch))
     return model, meta
 
 

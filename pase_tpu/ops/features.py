@@ -254,9 +254,11 @@ def gammatone(wav, f_min=500, n_channels=40, hop=160, win=400, rate=16000,
     power = jnp.square(jnp.transpose(filtered, (0, 2, 1)))  # [B, C, T]
     ncols = (t - win) // hop + 1
     b, c, _ = power.shape
-    frames = frame_signal(power.reshape(b * c, t), win, hop,
-                          n_frames=ncols)          # [B*C, F, win]
-    y = jnp.sqrt(jnp.mean(frames, axis=-1)).reshape(b, c, ncols)
+    # windowed mean WITHOUT materializing [B*C, F, win] frames (2 GB for
+    # win=2048): hierarchical box sum, one pass (ops/signal.py)
+    from pase_tpu.ops.signal import framed_box_mean
+    y = jnp.sqrt(framed_box_mean(power.reshape(b * c, t), win, hop,
+                                 n_frames=ncols)).reshape(b, c, ncols)
     y = jnp.log(y + 1e-10)
     y = jnp.transpose(y, (0, 2, 1))                # [B, F, C]
     if ncols < expected:
@@ -267,6 +269,33 @@ def gammatone(wav, f_min=500, n_channels=40, hop=160, win=400, rate=16000,
 
 
 # -- prosody -----------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _iacf_mat_np(nfft: int, lag_max: int) -> np.ndarray:
+    """[nfft//2+1, lag_max+1] inverse-rFFT cosine matrix restricted to the
+    first lag_max+1 lags (exact irfft rows for a real even spectrum)."""
+    k = np.arange(nfft // 2 + 1)[:, None]
+    l = np.arange(lag_max + 1)[None, :]
+    m = np.cos(2 * np.pi * k * l / nfft) * 2.0 / nfft
+    m[0] *= 0.5
+    m[-1] *= 0.5
+    return m.astype(np.float32)
+
+
+def _iacf_mat(nfft, lag_max):
+    return jnp.asarray(_iacf_mat_np(nfft, lag_max))
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats_np(win: int, n_fft: int):
+    from pase_tpu.ops.signal import _dft_mats
+    return _dft_mats(win, n_fft)
+
+
+def _dft_mats_cached(win, n_fft):
+    c, s = _dft_mats_np(win, n_fft)
+    return jnp.asarray(c), jnp.asarray(s)
 
 
 def _autocorr_f0(wav, sr, hop, n_frames, f0_min, f0_max, frame_len=1024,
@@ -285,13 +314,22 @@ def _autocorr_f0(wav, sr, hop, n_frames, f0_min, f0_max, frame_len=1024,
     w = jnp.asarray(hann_window(frame_len))
     fw = frames * w
     nfft = 2 * frame_len
-    spec = jnp.fft.rfft(fw, n=nfft, axis=-1)
-    acf = jnp.fft.irfft(jnp.abs(spec) ** 2, n=nfft, axis=-1)[..., :frame_len]
-    acf0 = jnp.maximum(acf[..., :1], 1e-10)
-    nacf = acf / acf0
     lag_min = int(np.floor(sr / f0_max))
     lag_max = int(np.ceil(sr / f0_min))
     lag_max = min(lag_max, frame_len - 1)
+    # Wiener-Khinchin ACF, but only lags [0, lag_max] are ever used: the
+    # power spectrum comes from the matmul-DFT (no FFT unit on TPU) and
+    # the inverse transform is a small [n_bins, lag_max+1] cosine matmul
+    # (acf[l] = (P[0] + 2*sum_k P[k] cos(2 pi k l / nfft) + (-1)^l P[N/2])
+    #           / nfft for real-even spectra).
+    c, s = _dft_mats_cached(frame_len, nfft)
+    re = fw @ c
+    im = fw @ s
+    power = re * re + im * im                       # [B, F, nfft//2+1]
+    icos = _iacf_mat(nfft, lag_max)
+    acf = (power @ icos)                            # [B, F, lag_max+1]
+    acf0 = jnp.maximum(acf[..., :1], 1e-10)
+    nacf = acf / acf0
     lags = np.arange(lag_min, lag_max + 1)
     window = nacf[..., lag_min:lag_max + 1]
     best = jnp.argmax(window, axis=-1)

@@ -32,6 +32,40 @@ def frame_signal(x, frame_len: int, hop: int, n_frames: int = None,
     return x[:, idx]                                       # [B, F, L]
 
 
+def framed_box_mean(x, win: int, hop: int, n_frames: int):
+    """Mean over sliding windows: out[b, t] = mean(x[b, t*hop : t*hop+win])
+    for t in [0, n_frames), zero-padding past the end.
+
+    Equivalent to ``frame_signal(x, win, hop, n_frames).mean(-1)`` but
+    WITHOUT materializing the [B, F, win] frame tensor (for overlapping
+    windows, e.g. the gammatone win=2048/hop=160 energy pooling, that
+    tensor is win/hop times the input — gigabytes). Hierarchical exact
+    summation: per-hop bin sums, a cumulative sum over bins, plus a
+    partial-head bin for win % hop != 0. One pass over the data.
+    """
+    assert win >= hop, "framed_box_mean requires win >= hop"
+    b, t = x.shape
+    nbins_full = win // hop
+    rem = win - nbins_full * hop
+    # cover the last window: start (n_frames-1)*hop, end + win
+    need = (n_frames - 1) * hop + win
+    nbins = -(-need // hop)                     # ceil
+    if nbins * hop > t:
+        x = jnp.pad(x, ((0, 0), (0, nbins * hop - t)))
+    xb = x[:, :nbins * hop].reshape(b, nbins, hop)
+    bins = jnp.sum(xb, axis=-1)                               # [B, nbins]
+    heads = jnp.sum(xb[:, :, :rem], axis=-1) if rem else None  # [B, nbins]
+    cs = jnp.cumsum(bins, axis=1)
+    cs = jnp.concatenate([jnp.zeros((b, 1), x.dtype), cs], axis=1)
+    idx = np.arange(n_frames)
+    # window t = bins [t, t+nbins_full) + first `rem` samples of bin
+    # t + nbins_full
+    out = cs[:, idx + nbins_full] - cs[:, idx]
+    if rem:
+        out = out + heads[:, idx + nbins_full]
+    return out / win
+
+
 @functools.lru_cache(maxsize=16)
 def _dft_mats(win: int, n_fft: int):
     """Real-DFT cos/sin matrices [win, n_fft//2+1] (frames are zero-padded

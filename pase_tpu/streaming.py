@@ -299,11 +299,13 @@ class StreamingEncoder:
             if flush:
                 y = _tcat(y, cs.flush())
             if i < len(self.skip_kernels):
+                # pool-then-project, matching the offline WaveFe order
+                # (linear ops commute; projecting at the pooled rate)
+                pooled = self.skip_pools[i].push(y)
                 tap = None
-                if y is not None:
-                    tap = conv1d(y, self.skip_kernels[i])
-                pooled = self.skip_pools[i].push(tap)
-                self.skip_fifos[i] = _tcat(self.skip_fifos[i], pooled)
+                if pooled is not None:
+                    tap = conv1d(pooled, self.skip_kernels[i])
+                self.skip_fifos[i] = _tcat(self.skip_fifos[i], tap)
             h = y
             if h is None and not flush:
                 return None

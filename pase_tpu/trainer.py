@@ -58,9 +58,15 @@ class Trainer:
         self.name = name
         from pase_tpu.precision import resolve as _resolve_dtype
         _resolve_dtype(self.cfg.get("compute_dtype"))  # fail fast on typos
+        # fused head+loss for wide MSE regression heads (lps/lps_long):
+        # skips materializing the [B, T, 21525] prediction — measured
+        # ~10 ms/step on a v5e chip (losses.framed_mse_linear). On by
+        # default; cfg fused_heads=False restores the materializing path.
+        fused_min = 4096 if cfg.get("fused_heads", True) else 0
         self.model, self.meta = build_pase(
             frontend_cfg, workers_cfg, att_cfg=cfg.get("att_cfg"),
-            chunking_K=cfg.get("chunking_K"))
+            chunking_K=cfg.get("chunking_K"),
+            fused_mse_min_ch=fused_min)
         from pase_tpu.frontend import build_frontend_module, load_cfg
         fe_mod = build_frontend_module(load_cfg(frontend_cfg))
         self.model_emb_dim = getattr(fe_mod, "output_dim",
@@ -287,15 +293,19 @@ class Trainer:
                     # pred/target distributions per worker ([lo, hi,
                     # bin counts...] rows in the JSONL; the reference's
                     # tensorboard add_histogram, trainer.py:398-413)
+                    from pase_tpu.model import materialize_pred
                     for n in ordered:
-                        losses[f"hist/{n}"] = _hist(preds[n])
+                        losses[f"hist/{n}"] = _hist(materialize_pred(
+                            preds[n]))
                         losses[f"hist/gtruth_{n}"] = _hist(labels[n])
                 fake = None
                 if gan_cfg is not None:
                     # generator objective: D(fake) should look real; D
                     # params are a closed-over constant inside loss_fn so
                     # only the generator receives these gradients
-                    fake = chunk if gan_type == "z" else preds[gan_worker]
+                    from pase_tpu.model import materialize_pred
+                    fake = chunk if gan_type == "z" \
+                        else materialize_pred(preds[gan_worker])
                     d_vars = {"params": state.d_params,
                               "batch_stats": state.d_batch_stats}
                     d_on_fake = d_module.apply(d_vars, fake, train=False)
