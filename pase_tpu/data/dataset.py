@@ -149,6 +149,52 @@ class ChunkBatcher:
             stop.set()
 
 
+class ThreadedPrefetcher:
+    """Fan out batch production over N threads into one bounded queue.
+
+    Generic replacement for the reference's DataLoader num_workers
+    (train.py:278-281): ``make_iter(tid)`` must return an independent
+    batch iterator per thread (own RNG seed — do not share one stateful
+    iterator across threads). numpy ufuncs release the GIL, so CPU-bound
+    producers (synthetic generation, wav decode, cropping) scale with
+    threads. Batch order across threads is nondeterministic; per-thread
+    streams are deterministic given their seeds.
+    """
+
+    def __init__(self, make_iter, n_threads: int = 4, prefetch: int = 8,
+                 bpe: Optional[int] = None):
+        self.make_iter = make_iter
+        self.n_threads = max(1, int(n_threads))
+        self.prefetch = prefetch
+        if bpe is not None:
+            self.bpe = bpe
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker(tid):
+            it = iter(self.make_iter(tid))
+            while not stop.is_set():
+                batch = next(it)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.25)
+                        break
+                    except queue_mod.Full:
+                        continue
+
+        threads = [threading.Thread(target=worker, args=(tid,), daemon=True)
+                   for tid in range(self.n_threads)]
+        for th in threads:
+            th.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+
 class PairWavDataset(LibriSpeechTupleDataset):
     """(current, random) pairs — no neighbor context; the MI context
     chunk falls back to the current wav (pase/dataset.py:274-330)."""
@@ -264,15 +310,20 @@ class SyntheticChunkBatcher:
 
     def _speechlike(self, f0, tilt, t):
         b = f0.shape[0]
-        n = np.arange(t)
-        sig = sum(np.sin(2 * np.pi * f0 * k * n[None, :] / 16000
-                         + self.rng.uniform(0, 6.28, (b, 1))) / k ** tilt
-                  for k in range(1, 6))
-        env = 0.5 + 0.5 * np.sin(2 * np.pi * self.rng.uniform(1, 4, (b, 1))
-                                 * n[None, :] / 16000
-                                 + self.rng.uniform(0, 6.28, (b, 1)))
-        noise = self.rng.randn(b, t) * 0.05
-        return ((sig * env * 0.2) + noise).astype(np.float32)
+        n = np.arange(t, dtype=np.float32)
+        f0 = f0.astype(np.float32)
+        sig = np.zeros((b, t), np.float32)
+        for k in range(1, 6):
+            ph = self.rng.uniform(0, 6.28, (b, 1)).astype(np.float32)
+            sig += np.sin(2 * np.pi * f0 * k * n[None, :] / 16000 + ph,
+                          dtype=np.float32) / (k ** tilt).astype(np.float32)
+        env = 0.5 + 0.5 * np.sin(
+            2 * np.pi * self.rng.uniform(1, 4, (b, 1)).astype(np.float32)
+            * n[None, :] / 16000
+            + self.rng.uniform(0, 6.28, (b, 1)).astype(np.float32),
+            dtype=np.float32)
+        noise = self.rng.randn(b, t).astype(np.float32) * 0.05
+        return sig * env * np.float32(0.2) + noise
 
     def _make_batch(self):
         b, t = self.batch_size, self.chunk_size
@@ -287,3 +338,59 @@ class SyntheticChunkBatcher:
     def __iter__(self):
         while True:
             yield self._make_batch()
+
+
+class DeviceSyntheticBatcher:
+    """SyntheticChunkBatcher generated ON the accelerator (jitted
+    jax.random harmonic stacks, sub-ms per batch) — keeps a synthetic
+    training loop device-bound instead of host-bound (numpy ufuncs hold
+    the GIL, so host-side generation cannot be threaded away). Same
+    signal family as SyntheticChunkBatcher: chunk/chunk_ctxt share a
+    'speaker' (f0, tilt), chunk_rand draws another, so LIM/GIM stays
+    learnable."""
+
+    def __init__(self, batch_size: int, chunk_size: int, seed: int = 0,
+                 bpe: int = 100):
+        import jax
+        import jax.numpy as jnp
+        self.batch_size = batch_size
+        self.chunk_size = chunk_size
+        self.bpe = bpe
+        self._key = jax.random.PRNGKey(seed)
+        b, t = batch_size, chunk_size
+
+        def speechlike(key, f0, tilt):
+            n = jnp.arange(t, dtype=jnp.float32)
+            k_ph, k_env, k_ns = jax.random.split(key, 3)
+            phases = jax.random.uniform(k_ph, (5, b, 1), maxval=6.28)
+            ks = jnp.arange(1, 6, dtype=jnp.float32)[:, None, None]
+            sig = jnp.sum(jnp.sin(2 * jnp.pi * f0[None] * ks * n / 16000
+                                  + phases) / ks ** tilt[None], axis=0)
+            ke1, ke2 = jax.random.split(k_env)
+            env = 0.5 + 0.5 * jnp.sin(
+                2 * jnp.pi * jax.random.uniform(ke1, (b, 1), minval=1.0,
+                                                maxval=4.0) * n / 16000
+                + jax.random.uniform(ke2, (b, 1), maxval=6.28))
+            noise = jax.random.normal(k_ns, (b, t)) * 0.05
+            return sig * env * 0.2 + noise
+
+        def make(key):
+            k_f0, k_tilt, k_f0r, k_tiltr, k1, k2, k3 = jax.random.split(
+                key, 7)
+            f0 = jax.random.uniform(k_f0, (b, 1), minval=80., maxval=260.)
+            tilt = jax.random.uniform(k_tilt, (b, 1), minval=.7, maxval=1.5)
+            f0r = jax.random.uniform(k_f0r, (b, 1), minval=80., maxval=260.)
+            tiltr = jax.random.uniform(k_tiltr, (b, 1), minval=.7,
+                                       maxval=1.5)
+            return {"chunk": speechlike(k1, f0, tilt),
+                    "chunk_ctxt": speechlike(k2, f0, tilt),
+                    "chunk_rand": speechlike(k3, f0r, tiltr)}
+
+        self._make = jax.jit(make)
+
+    def __iter__(self):
+        import jax
+        key = self._key
+        while True:
+            key, sub = jax.random.split(key)
+            yield self._make(sub)

@@ -171,10 +171,13 @@ def train(opts):
     # per-host seeds keep multi-host sampling disjoint
     seed0 = opts.seed + (0 if not multihost else 1000 * sl.start)
     if opts.synthetic:
-        batcher = SyntheticChunkBatcher(local_bs, opts.chunk_size,
-                                        seed=seed0)
-        va_batcher = SyntheticChunkBatcher(local_bs, opts.chunk_size,
-                                           seed=seed0 + 1)
+        # synthetic batches are generated ON the accelerator (host-side
+        # harmonic stacks are GIL-bound numpy and would starve the chip)
+        from pase_tpu.data.dataset import DeviceSyntheticBatcher
+        batcher = DeviceSyntheticBatcher(local_bs, opts.chunk_size,
+                                         seed=seed0)
+        va_batcher = DeviceSyntheticBatcher(local_bs, opts.chunk_size,
+                                            seed=seed0 + 1)
         bpe = 100
     else:
         from pase_tpu.data import dataset as ds_mod
@@ -203,9 +206,18 @@ def train(opts):
                        else ChunkBatcher)
         batcher = batcher_cls(ds, local_bs, opts.chunk_size,
                               seed=seed0)
+        bpe = batcher.bpe
+        if opts.num_workers > 1:
+            # replicate the reference's DataLoader num_workers: N
+            # independent producers (per-thread RNG) into one queue
+            from pase_tpu.data.dataset import ThreadedPrefetcher
+            batcher = ThreadedPrefetcher(
+                lambda tid: iter(batcher_cls(
+                    ds, local_bs, opts.chunk_size,
+                    seed=seed0 + 13 * tid)._make_batch, None),
+                n_threads=opts.num_workers, bpe=bpe)
         va_batcher = batcher_cls(va_ds, local_bs, opts.chunk_size,
                                  seed=seed0 + 1)
-        bpe = batcher.bpe
         print(f"Dataset: {ds.total_wav_dur/16000/3600.0:.1f} h train audio, "
               f"bpe={bpe}")
 
