@@ -235,6 +235,90 @@ class GenhancementDataset(LibriSpeechTupleDataset):
         return noisy, clean, rwav  # (chunk source, clean source, rand)
 
 
+def _load_utt2class(utt2class: str) -> dict:
+    """utt2class map from .json or a pickled/npy dict
+    (pase/dataset.py:716-723)."""
+    if utt2class.endswith(".json"):
+        import json as _json
+        with open(utt2class) as f:
+            return _json.load(f)
+    arr = np.load(utt2class, allow_pickle=True)
+    return dict(arr.item() if hasattr(arr, "item") and arr.ndim == 0
+                else arr.any())
+
+
+def _load_split_list(split_list):
+    if isinstance(split_list, list):
+        return list(split_list)
+    with open(split_list) as f:
+        return [ln.rstrip() for ln in f if ln.strip()]
+
+
+class FeatsClassDataset:
+    """Precomputed-features -> class-id dataset for downstream probes
+    (/root/reference/pase/dataset.py:705-751): per-utterance .npy feature
+    files (stored [T, D] there, transposed on load — here NTC [T, D]
+    natively), utt2class map, optional stats-pkl ZNorm."""
+
+    def __init__(self, data_root: str, utt2class: str, split_list,
+                 stats: Optional[str] = None, ext: str = "fb.npy"):
+        self.data_root = data_root
+        self.ext = ext
+        self.utt2class = _load_utt2class(utt2class)
+        self.split_list = _load_split_list(split_list)
+        self.stats = None
+        if stats is not None:
+            import pickle
+            with open(stats, "rb") as f:
+                st = pickle.load(f)
+            self.stats = {"mean": np.asarray(st["mean"], np.float32),
+                          "std": np.asarray(st["std"], np.float32)}
+
+    def __len__(self):
+        return len(self.split_list)
+
+    def __getitem__(self, index: int):
+        item = self.split_list[index]
+        bname = os.path.splitext(item)[0]
+        ft = np.load(os.path.join(self.data_root,
+                                  bname + "." + self.ext))
+        ft = np.asarray(ft, np.float32)          # [T, D] (NTC)
+        if self.stats is not None:
+            ft = (ft - self.stats["mean"]) / self.stats["std"]
+        return ft, int(self.utt2class[item])
+
+
+class WavClassDataset:
+    """Wav -> class-id dataset (pase/dataset.py:754-801): split-list of
+    wav names under data_root, utt2class map, optional random chunking
+    (zero-padded to chunk_size+1 first, like the reference)."""
+
+    def __init__(self, data_root: str, utt2class: str, split_list,
+                 chunk_size: Optional[int] = None, seed: int = 0):
+        self.data_root = data_root
+        self.utt2class = _load_utt2class(utt2class)
+        self.split_list = _load_split_list(split_list)
+        self.chunk_size = chunk_size
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.split_list)
+
+    def __getitem__(self, index: int):
+        from pase_tpu.data.io import read_wav
+        item = self.split_list[index]
+        bname = os.path.splitext(item)[0]
+        wav, _ = read_wav(os.path.join(self.data_root, bname + ".wav"))
+        wav = np.asarray(wav, np.float32)
+        if self.chunk_size is not None:
+            if len(wav) < self.chunk_size + 1:
+                wav = np.concatenate(
+                    [wav, np.zeros(self.chunk_size + 1 - len(wav),
+                                   np.float32)])
+            wav = crop_chunk(wav, self.chunk_size, self.rng)
+        return wav, int(self.utt2class[item])
+
+
 class MetaConcatDataset:
     """Concatenation of several tuple datasets
     (pase/dataset.py MetaWavConcatDataset)."""

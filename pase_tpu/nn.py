@@ -583,20 +583,23 @@ class Deconv1D(nn.Module):
             (self.kwidth, self.features, cin))
         from pase_tpu.precision import get_compute_dtype
         cd = get_compute_dtype()
-        xin, kin = x, kernel
+        xin = x
         if cd is not None and x.dtype == jnp.float32:
-            xin, kin = x.astype(cd), kernel.astype(cd)
+            xin = x.astype(cd)
+        kin = kernel.astype(xin.dtype)
+        # stays in the compute dtype (like conv1d): the decoder chain's
+        # 16 kHz activations are the traffic, not the matmuls
         y = jax.lax.conv_transpose(
             xin, kin, strides=(self.stride,),
             padding=[(self.kwidth - 1 - self.pad, self.kwidth - 1 - self.pad)],
             dimension_numbers=("NWC", "WIO", "NWC"),
-            transpose_kernel=True).astype(jnp.float32)
+            transpose_kernel=True)
         if self.use_bias:
             bias = self.param(
                 "bias",
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
                 (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
