@@ -1,0 +1,15 @@
+#!/bin/bash
+# TDNN-frontend PASE (reference template_scripts/
+# run_pase_train_50h_TDNN_all.sh: batch 64, 50 epochs, poly LR,
+# chunk 32000, distortions + random scale).
+python train.py \
+  --data_root "${DATA_ROOT:-data/LibriSpeech_50h/all}" \
+  --data_cfg "${DATA_CFG:-data/librispeech_data_50h.cfg}" \
+  --net_cfg cfg/workers/workers+.cfg \
+  --fe_cfg cfg/frontend/TDNN.cfg \
+  --dtrans_cfg cfg/distortions/pase+.cfg \
+  --stats "${STATS:-data/librispeech_50h_stats.pkl}" \
+  --batch_size 64 --chunk_size 32000 --epoch 50 --seed 100 \
+  --fe_lr 0.0005 --min_lr 0.0005 --lr_mode poly --random_scale True \
+  --compute_dtype bfloat16 --fast_loader \
+  --save_path "${SAVE_PATH:-ckpt_pase_tdnn}" "$@"

@@ -237,3 +237,101 @@ def test_prosodic_eval_cli(tmp_path):
     for k in ("lf0_rmse", "egy_rmse", "zcr_rmse", "uv_acc"):
         assert np.isfinite(res[k]), res
     assert os.path.exists(tmp_path / "proso.json")
+
+
+def test_data_prep_probe_lists(tmp_path):
+    """probe-lists covers both reference asset styles: utt2class map +
+    bare lists (minivoxceleb) and directory-per-class with session
+    holdout (IEMOCAP)."""
+    import argparse
+
+    import data_prep
+
+    rng = np.random.RandomState(0)
+    # style A: flat wavs + utt2spk json + bare filename lists
+    flat = tmp_path / "minivox"
+    flat.mkdir()
+    names = [f"id{i:03d}_u{j}.wav" for i in range(3) for j in range(2)]
+    for n in names:
+        write_wav(str(flat / n), rng.randn(SR // 4).astype(np.float32) * .1)
+    with open(flat / "u2c.json", "w") as f:
+        json.dump({n: n[2:5] for n in names}, f)
+    (flat / "trl.txt").write_text("\n".join(names[:4]) + "\n")
+    (flat / "tel.txt").write_text("\n".join(names[4:]) + "\n")
+    opts = argparse.Namespace(
+        data_root=str(flat), out_dir=str(flat / "lists"),
+        utt2class=str(flat / "u2c.json"), class_from=None,
+        train_list=str(flat / "trl.txt"), test_list=str(flat / "tel.txt"),
+        holdout=None, test_ratio=0.2, seed=0)
+    data_prep.probe_lists(opts)
+    tr = [(l.split()[0], int(l.split()[1])) for l in
+          (flat / "lists" / "tr.lst").read_text().splitlines()]
+    te = [(l.split()[0], int(l.split()[1])) for l in
+          (flat / "lists" / "te.lst").read_text().splitlines()]
+    assert len(tr) == 4 and len(te) == 2
+    cmap = json.loads((flat / "lists" / "class_map.json").read_text())
+    assert sorted(cmap.values()) == [0, 1, 2]
+    # labels consistent with the map
+    for w, lab in tr + te:
+        assert cmap[w[2:5]] == lab
+
+    # style B: session*/class/*.wav tree, leave-session-out
+    tree = tmp_path / "iemocap"
+    for sess in ("session1", "session2"):
+        for cls in ("ang", "neu"):
+            d = tree / sess / cls
+            d.mkdir(parents=True)
+            for k in range(2):
+                write_wav(str(d / f"u{k}.wav"),
+                          rng.randn(SR // 4).astype(np.float32) * .1)
+    opts = argparse.Namespace(
+        data_root=str(tree), out_dir=str(tree / "lists"),
+        utt2class=None, class_from="dirname", train_list=None,
+        test_list=None, holdout="session2", test_ratio=0.2, seed=0)
+    data_prep.probe_lists(opts)
+    tr = (tree / "lists" / "tr.lst").read_text().splitlines()
+    te = (tree / "lists" / "te.lst").read_text().splitlines()
+    assert len(tr) == 4 and len(te) == 4
+    assert all(l.startswith("session1") for l in tr)
+    assert all(l.startswith("session2") for l in te)
+    u2c = json.loads((tree / "lists" / "utt2class.json").read_text())
+    assert len(u2c) == 8 and set(u2c.values()) == {0, 1}
+
+
+def test_train_cli_att_cfg_flag(tmp_path):
+    """--att_cfg / --chunking_K CLI flags select the pase_attention /
+    pase_chunking variants (reference train.py:312-321,432-434)."""
+    sys.path.insert(0, REPO)
+    import train as train_cli
+    wk = {"regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                    "hidden_layers": 1, "name": "mfcc", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": []}
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    att = {"K": 8, "avg_factor": 0.3, "att_mode": "avg_time",
+           "hidden": [32]}
+    paths = {}
+    for name, cfg in (("wk", wk), ("fe", fe), ("att", att)):
+        paths[name] = str(tmp_path / f"{name}.cfg")
+        with open(paths[name], "w") as f:
+            json.dump(cfg, f)
+    argv = ["--net_cfg", paths["wk"], "--fe_cfg", paths["fe"],
+            "--att_cfg", paths["att"], "--synthetic",
+            "--batch_size", "8", "--chunk_size", "4800", "--epoch", "1",
+            "--log_freq", "2", "--save_path", str(tmp_path / "ckpt")]
+    opts = train_cli.build_argparser().parse_args(argv)
+    from pase_tpu.trainer import Trainer
+    orig_train = Trainer.train_
+
+    def short_train(self, *a, **k):
+        # the variant reached the model: attention blocks were built
+        assert self.model.att_cfg is not None
+        self.bpe = 2
+        return orig_train(self, *a, **k)
+    Trainer.train_ = short_train
+    try:
+        train_cli.train(opts)
+    finally:
+        Trainer.train_ = orig_train
+    assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")

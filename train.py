@@ -75,6 +75,13 @@ def build_argparser():
                    help="bfloat16 for mixed-precision MXU passes")
     p.add_argument("--gan_cfg", type=str, default=None,
                    help="JSON: {worker, loss, lr, weight} GAN worker")
+    # model-variant selection (reference train.py:312-321,432-434):
+    # att_cfg JSON switches to the pase_attention variant,
+    # chunking_K to pase_chunking fixed channel masks
+    p.add_argument("--att_cfg", type=str, default=None,
+                   help="attention-blocks cfg JSON (pase_attention)")
+    p.add_argument("--chunking_K", type=int, default=None,
+                   help="channels kept per fixed mask (pase_chunking)")
     # multi-host (DCN) scale-out: jax.distributed.initialize wiring.
     # batch_size is GLOBAL; each process loads its host_batch_slice.
     p.add_argument("--coordinator_address", type=str, default=None,
