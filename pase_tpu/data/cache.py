@@ -1,0 +1,176 @@
+"""Precomputed worker-target feature cache.
+
+The reference can trade per-sample CPU feature extraction for disk:
+`precompute_aco_data.py:1-120` computes each worker's acoustic features
+over whole utterances once, and `CachedCompose`
+(/root/reference/pase/transforms.py:253-292) then looks the files up at
+training time and slices them by the chunk bounds the chunker recorded.
+
+The TPU build computes targets on-device per step (~11 ms for the whole
+workers+ bank, see benchmarks/README.md), so caching is not a speed
+lever here — it exists for capability parity and for hosts where the
+chip is shared. Semantics match the reference: cached features are
+computed over the FULL utterance and sliced at `beg // hop`, so chunk-
+boundary framing context differs slightly from the on-the-fly path
+(which frames the isolated chunk) — the same deviation the reference's
+cached path has. ZNorm still happens on device in `make_prepare_fn`,
+which passes through any target key already present in the batch.
+
+Not supported with `random_scale` (the cached features were computed at
+the original gain; the reference's cached path has the same blind spot)
+or `zero_speech_p > 0` (synthetic samples have no cache file).
+"""
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from pase_tpu.data.dataset import ChunkBatcher
+
+CACHE_EXT = ".feats.npz"
+
+
+def _cache_path(cache_dir: str, fname: str) -> str:
+    bname = os.path.splitext(os.path.basename(fname))[0]
+    return os.path.join(cache_dir, bname + CACHE_EXT)
+
+
+def precompute_features(data_root: str, filenames: List[str],
+                        workers_meta: Dict, out_dir: str, hop: int = 160,
+                        bucket: int = 16000, overwrite: bool = False):
+    """Producer (precompute_aco_data.py equivalent): one .feats.npz per
+    utterance holding each regression worker's [T_frames, D] float32
+    features computed over the whole wav. Wavs are zero-padded up to a
+    length bucket so XLA compiles one graph per bucket, then the frame
+    axis is cut back to the true length."""
+    import jax.numpy as jnp
+
+    from pase_tpu.data.io import read_wav
+    from pase_tpu.ops.features import feature_fn_for_worker
+
+    feat_fns = {}
+    for e in workers_meta.get("regr", []):
+        fn = feature_fn_for_worker(e["name"], e.get("transform"), hop=hop)
+        if fn is not None:
+            feat_fns[e["name"]] = fn
+    if not feat_fns:
+        raise ValueError("no feature-target workers in the cfg")
+
+    import jax
+    jitted = {n: jax.jit(fn) for n, fn in feat_fns.items()}
+    os.makedirs(out_dir, exist_ok=True)
+    n_done = 0
+    for fname in filenames:
+        out_path = _cache_path(out_dir, fname)
+        if os.path.exists(out_path) and not overwrite:
+            continue
+        wav, _ = read_wav(os.path.join(data_root, fname))
+        n = len(wav)
+        n_frames = n // hop
+        padded = -(-max(n, hop) // bucket) * bucket
+        x = np.zeros((1, padded), np.float32)
+        x[0, :n] = wav
+        xd = jnp.asarray(x)
+        arrs = {}
+        for name, fn in jitted.items():
+            f = np.asarray(fn(xd)[0], np.float32)     # [T_pad_frames, D]
+            arrs[name] = f[:n_frames]
+        arrs["_hop"] = np.int64(hop)
+        np.savez(out_path, **arrs)
+        n_done += 1
+    return n_done
+
+
+class CachedTargetBatcher(ChunkBatcher):
+    """ChunkBatcher that also loads the cached features of each sampled
+    utterance and slices them at the chunk offset, emitting them under
+    the worker names so `make_prepare_fn` skips on-device extraction
+    (CachedCompose semantics, transforms.py:253-292)."""
+
+    def __init__(self, dataset, batch_size: int, chunk_size: int,
+                 cache_dir: str, worker_names: List[str],
+                 hop: int = 160, seed: int = 0, prefetch: int = 4,
+                 max_cached_utts: int = 256):
+        super().__init__(dataset, batch_size, chunk_size, seed=seed,
+                         prefetch=prefetch)
+        if getattr(dataset, "zero_speech_p", 0.0):
+            raise ValueError("cached targets are incompatible with "
+                             "zero_speech_p (no cache for synthetic "
+                             "samples)")
+        self.cache_dir = cache_dir
+        self.worker_names = list(worker_names)
+        self.hop = hop
+        self._feat_cache: Dict[str, dict] = {}
+        self._max_cached = max_cached_utts
+
+    def _feats_of(self, fname: str) -> dict:
+        hit = self._feat_cache.get(fname)
+        if hit is not None:
+            return hit
+        path = _cache_path(self.cache_dir, fname)
+        with np.load(path) as z:
+            feats = {n: z[n] for n in self.worker_names}
+            hop = int(z["_hop"]) if "_hop" in z else self.hop
+        if hop != self.hop:
+            raise ValueError(f"{path}: cached hop {hop} != {self.hop}")
+        if len(self._feat_cache) >= self._max_cached:
+            self._feat_cache.pop(next(iter(self._feat_cache)))
+        self._feat_cache[fname] = feats
+        return feats
+
+    @staticmethod
+    def _slice_frames(f: np.ndarray, f0: int, nf: int) -> np.ndarray:
+        """[T,D] -> [nf,D] starting at f0, edge-replicated when the
+        utterance is shorter than the chunk (crop_chunk pad regime)."""
+        piece = f[f0:f0 + nf]
+        if len(piece) < nf:
+            if len(piece) == 0:
+                piece = np.zeros((1, f.shape[1]), f.dtype)
+            pad = np.repeat(piece[-1:], nf - len(piece), axis=0)
+            piece = np.concatenate([piece, pad])
+        return piece
+
+    def _make_batch(self):
+        b, t = self.batch_size, self.chunk_size
+        nf = t // self.hop
+        chunk = np.empty((b, t), dtype=np.float32)
+        ctxt = np.empty((b, t), dtype=np.float32)
+        rand = np.empty((b, t), dtype=np.float32)
+        feats = {n: None for n in self.worker_names}
+        for i in range(b):
+            idx = self.rng.randint(len(self.ds))
+            uttname = self.ds.wavs[idx]["filename"]
+            wav, cwav, rwav = self.ds.sample_tuple(idx)
+            beg = (self.rng.randint(0, len(wav) - t)
+                   if len(wav) > t else 0)
+            chunk[i] = (wav[beg:beg + t] if len(wav) > t
+                        else _pad_like_crop(wav, t))
+            ctxt[i] = _crop(cwav, t, self.rng)
+            rand[i] = _crop(rwav, t, self.rng)
+            utt_feats = self._feats_of(uttname)
+            for n in self.worker_names:
+                sl = self._slice_frames(utt_feats[n], beg // self.hop, nf)
+                if feats[n] is None:
+                    feats[n] = np.empty((b,) + sl.shape, np.float32)
+                feats[n][i] = sl
+        out = {"chunk": chunk, "chunk_ctxt": ctxt, "chunk_rand": rand}
+        out.update({n: v for n, v in feats.items() if v is not None})
+        return out
+
+
+def _crop(wav, t, rng):
+    from pase_tpu.data.dataset import crop_chunk
+    return crop_chunk(wav, t, rng)
+
+
+def _pad_like_crop(wav, t):
+    """Deterministic variant of crop_chunk's short-utterance padding
+    (reflect tail / tile) for the offset-tracked current chunk."""
+    from pase_tpu.data.dataset import crop_chunk
+
+    class _Zero:
+        @staticmethod
+        def randint(*a, **k):
+            return 0
+    return crop_chunk(wav, t, _Zero)

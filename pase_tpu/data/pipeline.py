@@ -74,7 +74,10 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
         from pase_tpu.precision import get_compute_dtype
         cd = get_compute_dtype()
         for name, fn in feat_fns.items():
-            feats = fn(cchunk)
+            # a target already present in the batch came from the
+            # precomputed-feature cache (data/cache.py, the reference's
+            # CachedCompose path) — ZNorm/cast still apply below
+            feats = batch[name] if name in batch else fn(cchunk)
             if stats_dev is not None and name in stats_dev:
                 mean, std = stats_dev[name]
                 feats = (feats - mean) / std

@@ -69,6 +69,10 @@ def build_argparser():
                         "PairWavDataset | GenhancementDataset")
     p.add_argument("--clean_root", type=str, default=None,
                    help="clean tree for GenhancementDataset")
+    p.add_argument("--cache_feats_dir", type=str, default=None,
+                   help="precomputed-target cache dir from "
+                        "`util_scripts.py precompute-feats` "
+                        "(CachedCompose path, transforms.py:253-292)")
     p.add_argument("--fast_loader", action="store_true", default=False,
                    help="use the native C++ decode/crop loader")
     p.add_argument("--compute_dtype", type=str, default=None,
@@ -211,6 +215,27 @@ def train(opts):
         va_ds = make_ds("valid", opts.seed + 1)
         batcher_cls = (ds_mod.FastChunkBatcher if opts.fast_loader
                        else ChunkBatcher)
+        if opts.cache_feats_dir:
+            # precomputed-target cache (CachedCompose path; see
+            # pase_tpu/data/cache.py for the semantics + limitations)
+            if opts.fast_loader or str2bool(opts.random_scale) \
+                    or opts.zero_speech_p:
+                raise ValueError("--cache_feats_dir is incompatible with "
+                                 "--fast_loader / --random_scale / "
+                                 "--zero_speech_p")
+            from pase_tpu.data.cache import CachedTargetBatcher
+            from pase_tpu.model import parse_workers_cfg
+            from pase_tpu.ops.features import feature_fn_for_worker
+            cached_names = [
+                e["name"] for e in parse_workers_cfg(wk_cfg)["regr"]
+                if feature_fn_for_worker(e["name"], e.get("transform"),
+                                         hop=opts.hop) is not None]
+            import functools
+            batcher_cls = functools.partial(
+                CachedTargetBatcher, cache_dir=opts.cache_feats_dir,
+                worker_names=cached_names, hop=opts.hop)
+            print(f"Cached targets: {cached_names} "
+                  f"from {opts.cache_feats_dir}")
         batcher = batcher_cls(ds, local_bs, opts.chunk_size,
                               seed=seed0)
         bpe = batcher.bpe

@@ -153,6 +153,31 @@ def make_fbanks(opts):
     print(f"Wrote {len(paths)} fbank files to {opts.out_dir}")
 
 
+def precompute_feats(opts):
+    """Precompute every regression worker's target features over whole
+    utterances into a .feats.npz cache for CachedTargetBatcher
+    (precompute_aco_data.py:1-120 + CachedCompose transforms.py:253-292
+    equivalents; see pase_tpu/data/cache.py)."""
+    import json as _json
+
+    from pase_tpu.data.cache import precompute_features
+    from pase_tpu.model import parse_workers_cfg
+    with open(opts.net_cfg) as f:
+        meta = parse_workers_cfg(_json.load(f))
+    if opts.wav_list:
+        with open(opts.wav_list) as f:
+            files = [l.split()[0] for l in f if l.strip()]
+    else:
+        from pase_tpu.data.io import load_data_cfg
+        cfg = load_data_cfg(opts.data_cfg)
+        files = [d["filename"] for split in ("train", "valid")
+                 if split in cfg for d in cfg[split]["data"]]
+    n = precompute_features(opts.data_root, files, meta, opts.out_dir,
+                            hop=opts.hop, overwrite=opts.overwrite)
+    print(f"Cached features for {n} new / {len(files)} listed utts "
+          f"in {opts.out_dir}")
+
+
 def vadproc(opts):
     """Energy-VAD segmentation of a wav list: writes per-utterance speech
     region files `beg end` in samples (util_scripts/vadproc.py
@@ -428,6 +453,17 @@ def main():
     et.add_argument("--in_ckpt", required=True)
     et.add_argument("--out_ckpt", required=True)
 
+    pc = sub.add_parser("precompute-feats")
+    pc.add_argument("--net_cfg", required=True)
+    pc.add_argument("--data_root", required=True)
+    pc.add_argument("--wav_list", default=None)
+    pc.add_argument("--data_cfg", default=None,
+                    help="alternative to --wav_list: cache every "
+                         "train+valid utterance of a data cfg")
+    pc.add_argument("--out_dir", required=True)
+    pc.add_argument("--hop", type=int, default=160)
+    pc.add_argument("--overwrite", action="store_true", default=False)
+
     vp = sub.add_parser("vadproc")
     vp.add_argument("--wav_list", required=True)
     vp.add_argument("--data_root", default="")
@@ -477,6 +513,7 @@ def main():
     {"forward-chunk": forward_chunk, "eval-ckpts": eval_ckpts,
      "clusterize": clusterize, "make-fbanks": make_fbanks,
      "export-torch": export_torch, "vadproc": vadproc,
+     "precompute-feats": precompute_feats,
      "make-contaminated": make_contaminated, "select-ckpt": select_ckpt,
      "project-features": project_features, "encode-codec2": encode_codec2,
      "prosodic-eval": prosodic_eval}[opts.cmd](opts)
