@@ -21,7 +21,9 @@ from flax import linen as nn
 
 from pase_tpu.frontend import WaveFe, build_wavefe
 from pase_tpu.minions import (MLPMinion, DecoderMinion, GRUMinion, SPCMinion,
-                              GapMinion, make_mi_samples, make_mi_labels)
+                              GapMinion, make_mi_samples, make_mi_labels,
+                              scale_grad)
+from pase_tpu.wavernn import WaveRNNMinion
 from pase_tpu.losses import make_loss
 
 
@@ -37,6 +39,11 @@ _MINION_FIELDS = {
     "spc": ("num_outputs", "hidden_size", "hidden_layers", "ctxt_frames",
             "seq_pad", "dropout", "skip"),
     "gap": ("num_outputs", "hidden_size", "hidden_layers", "dropout", "skip"),
+    # vocoder head (minions.py:58-146) — wired into the worker bank here,
+    # unlike the reference, whose pase.py:336 call never passes the
+    # kwargs minions.py:114 requires (documented broken wiring)
+    "wavernn": ("num_inputs", "rnn_dims", "fc_dims", "bits", "hop_length",
+                "mode", "pad", "upsample_scales", "res_out_dims"),
 }
 
 _MINION_CLS = {
@@ -45,6 +52,7 @@ _MINION_CLS = {
     "gru": GRUMinion,
     "spc": SPCMinion,
     "gap": GapMinion,
+    "wavernn": WaveRNNMinion,
 }
 
 
@@ -81,7 +89,7 @@ def _build_minion(cfg: dict, name: str):
     cls = _MINION_CLS[mtype]
     fields = _MINION_FIELDS[mtype]
     kwargs = {k: cfg[k] for k in fields if k in cfg}
-    for seq_key in ("fmaps", "strides", "kwidths"):
+    for seq_key in ("fmaps", "strides", "kwidths", "upsample_scales"):
         if seq_key in kwargs:
             kwargs[seq_key] = tuple(kwargs[seq_key])
     return cls(name=f"{name}", **kwargs), mtype
@@ -250,6 +258,22 @@ class PASE(nn.Module):
         for e, worker in zip(self._regr_meta, self.regression_workers):
             name = e["name"]
             wchunk, _ = worker_view(name)
+            if e.get("type") == "wavernn":
+                # teacher-forced vocoder head: previous clean samples +
+                # edge-padded PASE frames -> per-sample logits; target is
+                # the clean waveform (fixes the reference's broken
+                # pase.py:336 wiring)
+                wav = batch.get("cchunk", batch["chunk"])
+                wav = wav[..., 0] if wav.ndim == 3 else wav
+                pad_f = int(e.get("pad", 2) or 2)
+                mels = scale_grad(wchunk, a_of(widx))
+                mels = jnp.pad(mels, ((0, 0), (pad_f, pad_f), (0, 0)),
+                               mode="edge")
+                x_prev = jnp.pad(wav, ((0, 0), (1, 0)))[:, :-1]
+                preds[name] = worker(x_prev, mels, train=train)
+                labels[name] = jax.lax.stop_gradient(wav)
+                widx += 1
+                continue
             if _fuse_eligible(e, self.fused_mse_min_ch):
                 y = worker(wchunk, a_of(widx), train=train,
                            return_linear=True)
@@ -328,6 +352,16 @@ def worker_losses(model_meta, preds, labels):
                     pred[0] == "linear":
                 _, h, kernel, bias = pred
                 val = framed_mse_linear(kernel, bias, h, labels[name], r)
+            elif e.get("type") == "wavernn":
+                from pase_tpu.wavernn import (raw_loss,
+                                              discretized_mix_logistic_loss)
+                logits = pred.astype(jnp.float32)
+                if e.get("mode", "RAW") == "MOL":
+                    val = discretized_mix_logistic_loss(logits,
+                                                        labels[name])
+                else:
+                    val = raw_loss(logits, labels[name],
+                                   bits=int(e.get("bits", 9)))
             else:
                 fn = make_loss(e["loss"], r=r)
                 val = fn(pred, labels[name])

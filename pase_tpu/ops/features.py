@@ -481,7 +481,8 @@ def feature_fn_for_worker(name: str, transform_cfg: Optional[dict] = None,
     workers without a signal-feature target (mi/cmi/spc/gap/overlap/chunk/
     cchunk/regularizers)."""
     skip = ("mi", "cmi", "spc", "gap", "overlap", "chunk", "cchunk")
-    if name in skip or "regu" in name:
+    if name in skip or "regu" in name or "wavernn" in name:
+        # wavernn's target is the clean waveform itself (batch cchunk)
         return None
     cfg = dict(transform_cfg or {})
     cfg["hop"] = hop

@@ -389,3 +389,28 @@ def test_train_cli_cached_targets(corpus, tmp_path):
     finally:
         Trainer.train_ = orig_train
     assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")
+
+
+def test_profile_step_cli(tmp_path, capsys):
+    """profile-step emits the step decomposition JSON
+    (pase_tpu/profiling.py device-synced methodology)."""
+    import argparse
+    import util_scripts
+    wk = {"regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                    "hidden_layers": 1, "name": "mfcc", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": []}
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    wk_path, fe_path = str(tmp_path / "wk.cfg"), str(tmp_path / "fe.cfg")
+    with open(wk_path, "w") as f:
+        json.dump(wk, f)
+    with open(fe_path, "w") as f:
+        json.dump(fe, f)
+    util_scripts.profile_step(argparse.Namespace(
+        net_cfg=wk_path, fe_cfg=fe_path, batch_size=8, chunk_size=4800,
+        compute_dtype=None, n_meas=2))
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"prepare_ms", "step_ms", "model_opt_ms",
+                        "steps_per_sec", "audio_sec_per_sec"}
+    assert out["step_ms"] > 0 and out["prepare_ms"] > 0

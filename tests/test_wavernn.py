@@ -93,3 +93,47 @@ def test_generate():
     wav = W.generate(m, v, mels, jax.random.PRNGKey(2), mode="RAW", bits=8)
     assert wav.shape == (1, frames * 160)
     assert float(jnp.abs(wav).max()) <= 1.0 + 1e-5  # mu-law decode rounding
+
+
+def test_wavernn_worker_in_train_step():
+    """The wavernn minion type is wired into the worker bank (unlike the
+    reference, whose pase.py:336 wiring is broken): one jitted step with
+    a wavernn regr worker runs, loss is finite, and encoder params move."""
+    import numpy as np
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.parallel.mesh import get_mesh, shard_batch
+
+    workers = {
+        "regr": [
+            {"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+             "hidden_layers": 1, "name": "mfcc", "r": 1,
+             "loss": "MSELoss", "skip": False},
+            {"name": "wavernn", "type": "wavernn", "loss": "WaveRNNLoss",
+             "num_inputs": 32, "rnn_dims": 16, "fc_dims": 16,
+             "bits": 4, "mode": "RAW", "pad": 2, "res_out_dims": 8,
+             "upsample_scales": [4, 4, 10], "loss_weight": 0.5},
+        ],
+        "cls": [],
+    }
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    cfg = dict(backprop_mode="base", hop=160, bpe=1, epoch=1,
+               batch_size=8, chunk_size=1600, log_freq=1,
+               save_path="/tmp/wavernn_step")
+    tr = Trainer(fe, workers, cfg, mesh=get_mesh())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    raw = shard_batch({k: jnp.asarray(v) for k, v in
+                       next(iter(SyntheticChunkBatcher(8, 1600))).items()},
+                      tr.mesh)
+    p0 = jax.device_get(
+        jax.tree_util.tree_leaves(state.params["frontend"])[0])
+    state, losses = step(state, raw)
+    l = jax.device_get(losses)
+    assert np.isfinite(l["wavernn"]) and l["wavernn"] > 0
+    # RAW CE at bits=4 starts near log(16)
+    assert l["wavernn"] < 2 * np.log(2 ** 4)
+    p1 = jax.device_get(
+        jax.tree_util.tree_leaves(state.params["frontend"])[0])
+    assert not np.allclose(p0, p1), "no gradient reached the encoder"

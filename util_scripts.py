@@ -178,6 +178,27 @@ def precompute_feats(opts):
           f"in {opts.out_dir}")
 
 
+def profile_step(opts):
+    """Device-synced train-step decomposition (pase_tpu/profiling.py):
+    prepare vs model+opt cost, steps/s, audio-s/s. One JSON line."""
+    import json as _json
+
+    from pase_tpu.profiling import profile_train_step
+    from pase_tpu.trainer import Trainer
+    with open(opts.net_cfg) as f:
+        wk = json.load(f)
+    with open(opts.fe_cfg) as f:
+        fe = json.load(f)
+    cfg = dict(backprop_mode="base", hop=160, bpe=1, epoch=1,
+               batch_size=opts.batch_size, chunk_size=opts.chunk_size,
+               log_freq=100, save_path="/tmp/profile_step",
+               compute_dtype=opts.compute_dtype)
+    tr = Trainer(fe, wk, cfg)
+    out = profile_train_step(tr, opts.batch_size, opts.chunk_size,
+                             n_meas=opts.n_meas)
+    print(_json.dumps(out))
+
+
 def vadproc(opts):
     """Energy-VAD segmentation of a wav list: writes per-utterance speech
     region files `beg end` in samples (util_scripts/vadproc.py
@@ -464,6 +485,14 @@ def main():
     pc.add_argument("--hop", type=int, default=160)
     pc.add_argument("--overwrite", action="store_true", default=False)
 
+    ps = sub.add_parser("profile-step")
+    ps.add_argument("--fe_cfg", required=True)
+    ps.add_argument("--net_cfg", required=True)
+    ps.add_argument("--batch_size", type=int, default=32)
+    ps.add_argument("--chunk_size", type=int, default=32000)
+    ps.add_argument("--compute_dtype", default=None)
+    ps.add_argument("--n_meas", type=int, default=20)
+
     vp = sub.add_parser("vadproc")
     vp.add_argument("--wav_list", required=True)
     vp.add_argument("--data_root", default="")
@@ -513,7 +542,7 @@ def main():
     {"forward-chunk": forward_chunk, "eval-ckpts": eval_ckpts,
      "clusterize": clusterize, "make-fbanks": make_fbanks,
      "export-torch": export_torch, "vadproc": vadproc,
-     "precompute-feats": precompute_feats,
+     "precompute-feats": precompute_feats, "profile-step": profile_step,
      "make-contaminated": make_contaminated, "select-ckpt": select_ckpt,
      "project-features": project_features, "encode-codec2": encode_codec2,
      "prosodic-eval": prosodic_eval}[opts.cmd](opts)
