@@ -205,6 +205,19 @@ class Trainer:
             gan_loss = gan_cfg.get("loss", "LSGAN")
             gan_weight = gan_cfg.get("weight", 1.0)
             gan_type = gan_cfg.get("type", "wave")
+            # legacy Waveminionet z-adversarial warm-up schedule
+            # (core.py:179-182,302-303,378-397): weight 0 until `warmup`
+            # steps, then zinit_weight ramped by zinc/step up to 1.
+            # Defaults (warmup=0, zinit=1) keep the constant weight.
+            gan_warmup = int(gan_cfg.get("warmup", 0) or 0)
+            gan_zinit = float(gan_cfg.get("zinit_weight", 1.0))
+            gan_zinc = float(gan_cfg.get("zinc", 0.0002))
+
+            def gan_ramp(step):
+                ramp = jnp.minimum(
+                    1.0, gan_zinit + gan_zinc *
+                    jnp.maximum(step - gan_warmup, 0).astype(jnp.float32))
+                return jnp.where(step >= gan_warmup, ramp, 0.0)
 
         def mgda_alpha(params, batch_stats, batch, k_sample, k_drop, alpha):
             """Per-worker MGDA-UB weights: jacrev of the loss vector w.r.t.
@@ -312,7 +325,7 @@ class Trainer:
                     gl = g_loss_fn(d_on_fake, gan_loss)
                     name_g = "z_g" if gan_type == "z" else f"{gan_worker}_g"
                     losses[name_g] = gl
-                    total = total + gan_weight * gl
+                    total = total + gan_weight * gan_ramp(state.step) * gl
                 losses["total"] = total
                 return total, (losses, ups.get("batch_stats", {}),
                                alpha_next, new_pstate, fake)
@@ -352,6 +365,11 @@ class Trainer:
                 (dl, d_bs), d_grads = jax.value_and_grad(
                     d_objective, has_aux=True)(d_params)
                 d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+                if gan_warmup:
+                    # D training also starts at warm-up (core.py:378)
+                    d_gate = (state.step >= gan_warmup).astype(jnp.float32)
+                    d_updates = jax.tree.map(lambda u: u * d_gate,
+                                             d_updates)
                 d_params = optax.apply_updates(d_params, d_updates)
                 losses["d_loss"] = dl
 

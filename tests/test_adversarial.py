@@ -154,3 +154,54 @@ def test_z_adversarial_step():
     assert "z_g" in l and "d_loss" in l
     for k, v in l.items():
         assert np.isfinite(float(v)), k
+
+
+def test_z_adversarial_warmup_ramp():
+    """Legacy Waveminionet z warm-up (core.py:179-182,302-303,378-397):
+    before `warmup` steps neither G nor D trains on the adversarial
+    objective; after it the ramped weight kicks in."""
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.parallel.mesh import get_mesh, shard_batch
+    workers = {
+        "regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                  "hidden_layers": 1, "name": "mfcc", "r": 1,
+                  "loss": "MSELoss", "skip": False}],
+        "cls": [],
+    }
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    cfg = dict(backprop_mode="base", hop=160, bpe=1, epoch=1, batch_size=8,
+               chunk_size=4800, log_freq=1, save_path="/tmp/pase_zwarm")
+    tr = Trainer(fe, workers, cfg, mesh=get_mesh(),
+                 gan_cfg={"type": "z", "loss": "BCE", "lr": 5e-4,
+                          "weight": 0.1, "warmup": 1,
+                          "zinit_weight": 0.5, "zinc": 0.25})
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    b = iter(SyntheticChunkBatcher(8, 4800, seed=0))
+
+    def dp0():
+        return jax.device_get(
+            jax.tree_util.tree_leaves(state.d_params)[0]).copy()
+
+    d_before = dp0()
+    raw = shard_batch({k: jnp.asarray(v) for k, v in next(b).items()},
+                      tr.mesh)
+    state, losses0 = step(state, raw)          # step 0 < warmup: gated
+    d_after0 = dp0()
+    np.testing.assert_array_equal(d_before, d_after0)
+    l0 = jax.device_get(losses0)
+    # z_g is reported but its weighted contribution is zero
+    mfcc_plus_total0 = float(l0["total"])
+    assert np.isclose(mfcc_plus_total0, float(l0["mfcc"]), rtol=1e-5)
+
+    raw = shard_batch({k: jnp.asarray(v) for k, v in next(b).items()},
+                      tr.mesh)
+    state, losses1 = step(state, raw)          # step 1 >= warmup: active
+    d_after1 = dp0()
+    assert not np.allclose(d_after0, d_after1), "D did not train"
+    l1 = jax.device_get(losses1)
+    # total now includes 0.1 * ramp(0.5) * z_g
+    assert not np.isclose(float(l1["total"]), float(l1["mfcc"]),
+                          rtol=1e-5)
