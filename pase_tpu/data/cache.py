@@ -98,6 +98,11 @@ class CachedTargetBatcher(ChunkBatcher):
             raise ValueError("cached targets are incompatible with "
                              "zero_speech_p (no cache for synthetic "
                              "samples)")
+        if getattr(dataset, "parallel", False) or \
+                getattr(dataset, "datasets", None) is not None:
+            raise ValueError("cached targets support plain tuple "
+                             "datasets only (not parallel-clean or "
+                             "MetaConcat)")
         self.cache_dir = cache_dir
         self.worker_names = list(worker_names)
         self.hop = hop

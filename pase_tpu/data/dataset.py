@@ -82,19 +82,31 @@ class LibriSpeechTupleDataset:
         return wav, cwav, rwav
 
 
-def crop_chunk(wav: np.ndarray, chunk_size: int, rng) -> np.ndarray:
-    """Random chunk crop with reflect pad for short utterances
-    (SingleChunkWav.select_chunk, transforms.py:309-356)."""
+def crop_at(wav: np.ndarray, beg: int, chunk_size: int) -> np.ndarray:
+    """Chunk at a FIXED offset with the short-utterance pad semantics of
+    crop_chunk (reflect tail / tile) — used to slice parallel noisy and
+    clean recordings at one shared window."""
     if len(wav) <= chunk_size:
         p = chunk_size - len(wav)
         if len(wav) == 0:
             return np.zeros(chunk_size, dtype=np.float32)
+        if p == 0:
+            return wav.astype(np.float32)
         if p < len(wav):
             return np.concatenate([wav, wav[-2:-2 - p:-1]]).astype(np.float32)
         reps = int(np.ceil(chunk_size / len(wav)))
         return np.tile(wav, reps)[:chunk_size].astype(np.float32)
-    idx = rng.randint(0, len(wav) - chunk_size)
-    return wav[idx:idx + chunk_size]
+    beg = min(beg, len(wav) - chunk_size)
+    return wav[beg:beg + chunk_size]
+
+
+def crop_chunk(wav: np.ndarray, chunk_size: int, rng) -> np.ndarray:
+    """Random chunk crop with reflect pad for short utterances
+    (SingleChunkWav.select_chunk, transforms.py:309-356)."""
+    if len(wav) > chunk_size:
+        return crop_at(wav, rng.randint(0, len(wav) - chunk_size),
+                       chunk_size)
+    return crop_at(wav, 0, chunk_size)
 
 
 class ChunkBatcher:
@@ -112,16 +124,45 @@ class ChunkBatcher:
 
     def _make_batch(self):
         b, t = self.batch_size, self.chunk_size
+        ds = self.ds
         chunk = np.empty((b, t), dtype=np.float32)
         ctxt = np.empty((b, t), dtype=np.float32)
         rand = np.empty((b, t), dtype=np.float32)
+        masked = getattr(ds, "dist_flags", None) is not None
+        mask = np.ones((b,), dtype=np.float32) if masked else None
+        subsets = getattr(ds, "datasets", None)
+        any_parallel = (any(getattr(d, "parallel", False)
+                            for d in subsets) if subsets
+                        else getattr(ds, "parallel", False))
+        cchunk = np.empty((b, t), dtype=np.float32) if any_parallel \
+            else None
         for i in range(b):
-            idx = self.rng.randint(len(self.ds))
-            wav, cwav, rwav = self.ds.sample_tuple(idx)
-            chunk[i] = crop_chunk(wav, t, self.rng)
-            ctxt[i] = crop_chunk(cwav, t, self.rng)
+            idx = self.rng.randint(len(ds))
+            sub = ds.datasets[ds._locate(idx)[0]] if subsets else ds
+            wav, cwav, rwav = ds.sample_tuple(idx)
+            if getattr(sub, "parallel", False):
+                # parallel clean/noisy: one shared window for chunk and
+                # cchunk (reference GenhancementDataset semantics); the
+                # contrastive ctxt is an independent clean crop
+                beg = (self.rng.randint(0, len(wav) - t)
+                       if len(wav) > t else 0)
+                chunk[i] = crop_at(wav, beg, t)
+                cchunk[i] = crop_at(cwav, beg, t)
+                ctxt[i] = crop_chunk(cwav, t, self.rng)
+            else:
+                chunk[i] = crop_chunk(wav, t, self.rng)
+                ctxt[i] = crop_chunk(cwav, t, self.rng)
+                if cchunk is not None:
+                    cchunk[i] = chunk[i]
             rand[i] = crop_chunk(rwav, t, self.rng)
-        return {"chunk": chunk, "chunk_ctxt": ctxt, "chunk_rand": rand}
+            if masked:
+                mask[i] = ds.dist_mask_of(idx)
+        out = {"chunk": chunk, "chunk_ctxt": ctxt, "chunk_rand": rand}
+        if cchunk is not None:
+            out["cchunk"] = cchunk
+        if masked:
+            out["dist_mask"] = mask
+        return out
 
     def __iter__(self) -> Iterator[dict]:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
@@ -206,9 +247,17 @@ class PairWavDataset(LibriSpeechTupleDataset):
 
 class GenhancementDataset(LibriSpeechTupleDataset):
     """Parallel noisy/clean corpora: 'chunk' from the noisy tree,
-    'cchunk' from the clean tree at the same path (dataset.py
-    GenhancementDataset; also covers the AMI ihm/sdm layout when
-    clean_root points at the ihm channel)."""
+    'cchunk' from the clean tree at the SAME chunk window (dataset.py
+    GenhancementDataset: reference __getitem__ chunks the clean wav
+    first, then slices the noisy wav at the recorded chunk_beg/end —
+    dataset.py:383-420; also covers the AMI ihm/sdm layout when
+    clean_root points at the ihm channel).
+
+    `parallel = True` tells the batcher to crop noisy and clean at one
+    shared offset and emit the aligned clean as the batch's 'cchunk'
+    (worker targets then come from clean audio, the denoising setup)."""
+
+    parallel = True
 
     def __init__(self, data_root, clean_root, data_cfg_file, split,
                  **kwargs):
@@ -233,6 +282,15 @@ class GenhancementDataset(LibriSpeechTupleDataset):
             rindex += 1
         rwav = self._load(self.wavs[rindex]["filename"])
         return noisy, clean, rwav  # (chunk source, clean source, rand)
+
+
+class AmiSegTupleWavDataset(GenhancementDataset):
+    """AMI parallel-channel tuples (pase/dataset.py AmiSegTupleWavDataset):
+    the distorted 'chunk' comes from the far-field sdm tree
+    (data_root), the clean 'cchunk' from the headset ihm tree
+    (clean_root) at the same relative path — the Genhancement pairing
+    with AMI channel naming (template_scripts/
+    run_pase_libri_ami_ihm_sdm.sh recipes)."""
 
 
 def _load_utt2class(utt2class: str) -> dict:
@@ -321,9 +379,15 @@ class WavClassDataset:
 
 class MetaConcatDataset:
     """Concatenation of several tuple datasets
-    (pase/dataset.py MetaWavConcatDataset)."""
+    (pase/dataset.py MetaWavConcatDataset).
 
-    def __init__(self, datasets):
+    dist_flags: optional per-dataset bools — the reference applies each
+    dataset's own distortion stack inside its DataLoader workers (e.g.
+    Libri distorted + AMI sdm raw in run_pase_libri_ami_ihm_sdm.sh);
+    here the on-device engine is global, so samples carry a
+    `dist_mask` and the prepare fn skips distortion where it is 0."""
+
+    def __init__(self, datasets, dist_flags=None):
         self.datasets = list(datasets)
         self.total_wav_dur = sum(d.total_wav_dur for d in self.datasets)
         self._offsets = []
@@ -334,15 +398,26 @@ class MetaConcatDataset:
         self._len = off
         self.rec = self.datasets[0].rec
         self.wavs = [w for d in self.datasets for w in d.wavs]
+        self.dist_flags = (list(dist_flags) if dist_flags is not None
+                           else None)
 
     def __len__(self):
         return self._len
 
+    def _locate(self, index: int):
+        for i in range(len(self.datasets) - 1, -1, -1):
+            if index >= self._offsets[i]:
+                return i, index - self._offsets[i]
+        return 0, index
+
     def sample_tuple(self, index: int):
-        for d, off in zip(reversed(self.datasets), reversed(self._offsets)):
-            if index >= off:
-                return d.sample_tuple(index - off)
-        return self.datasets[0].sample_tuple(index)
+        i, sub = self._locate(index)
+        return self.datasets[i].sample_tuple(sub)
+
+    def dist_mask_of(self, index: int) -> float:
+        if self.dist_flags is None:
+            return 1.0
+        return 1.0 if self.dist_flags[self._locate(index)[0]] else 0.0
 
 
 class FastChunkBatcher(ChunkBatcher):
@@ -355,6 +430,11 @@ class FastChunkBatcher(ChunkBatcher):
         from pase_tpu.data.io import native_load_chunk_batch
         b, t = self.batch_size, self.chunk_size
         ds = self.ds
+        if getattr(ds, "datasets", None) is not None or \
+                getattr(ds, "parallel", False):
+            # MetaConcat / parallel-clean datasets need per-sample masks
+            # or shared-offset crops the native path doesn't implement
+            return super()._make_batch()
         paths = []
         for _ in range(b):
             idx = self.rng.randint(len(ds))

@@ -61,12 +61,23 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
         chunk = batch["chunk"]
         ctxt = batch["chunk_ctxt"]
         rand = batch["chunk_rand"]
+        # parallel corpora (Genhancement/AMI) provide the aligned clean
+        # recording explicitly; otherwise clean := the pre-distortion chunk
+        cchunk_in = batch.get("cchunk")
         if random_scale:
             ks = jax.random.split(k_scale, 3)
-            chunk = norm_and_scale(chunk, ks[0])
+            # chunk and the aligned clean share one gain so the
+            # denoising pair stays consistent
+            if cchunk_in is not None:
+                mx = jnp.max(jnp.abs(chunk), axis=-1, keepdims=True)
+                g = jax.random.uniform(ks[0], (b, 1))
+                chunk = chunk / jnp.maximum(mx, 1e-12) * g
+                cchunk_in = cchunk_in / jnp.maximum(mx, 1e-12) * g
+            else:
+                chunk = norm_and_scale(chunk, ks[0])
             ctxt = norm_and_scale(ctxt, ks[1])
             rand = norm_and_scale(rand, ks[2])
-        cchunk = chunk  # clean copy before distortion
+        cchunk = chunk if cchunk_in is None else cchunk_in
         out = {"chunk_ctxt": ctxt, "chunk_rand": rand, "cchunk": cchunk}
         # worker targets from the clean chunk; stored in the compute dtype
         # under a mixed-precision policy (losses re-cast to f32 at the
@@ -87,8 +98,16 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
         # distort the encoder input
         overlap = jnp.zeros((b, t // hop))
         if dist_cfg is not None and assets is not None:
-            chunk, overlap = apply_distortions(chunk, k_dist, dist_cfg,
-                                               assets, dec_res=hop)
+            dchunk, overlap = apply_distortions(chunk, k_dist, dist_cfg,
+                                                assets, dec_res=hop)
+            if "dist_mask" in batch:
+                # per-dataset distortion gating (MetaConcat dist_flags:
+                # the reference's per-corpus distortion stacks, e.g.
+                # Libri distorted + AMI sdm raw)
+                m = batch["dist_mask"]
+                dchunk = jnp.where(m[:, None] > 0, dchunk, chunk)
+                overlap = overlap * m[:, None]
+            chunk = dchunk
         out["chunk"] = chunk
         if has_overlap:
             out["overlap"] = overlap

@@ -414,3 +414,78 @@ def test_profile_step_cli(tmp_path, capsys):
     assert set(out) == {"prepare_ms", "step_ms", "model_opt_ms",
                         "steps_per_sec", "audio_sec_per_sec"}
     assert out["step_ms"] > 0 and out["prepare_ms"] > 0
+
+
+def test_train_cli_multi_corpus_ami(corpus, tmp_path):
+    """Repeated --data_root/--data_cfg/--dataset triples concatenate
+    corpora with per-dataset distortion gating (the reference's
+    Libri+AMI recipe, run_pase_libri_ami_ihm_sdm.sh): dataset 2 is an
+    AmiSegTupleWavDataset whose --dtrans_cfg entry is 'None'."""
+    import shutil
+    import argparse as _ap
+    sys.path.insert(0, REPO)
+    import data_prep
+    import train as train_cli
+
+    root, wavdir, files = corpus
+    cfg1 = str(tmp_path / "libri.cfg")
+    data_prep.build_cfg(_ap.Namespace(
+        data_root=str(wavdir), train_scp=str(root / "tr.scp"),
+        test_scp=None, libri_dict=None, cfg_file=cfg1,
+        val_ratio=0.34, seed=3))
+    # "AMI": sdm tree = ihm tree + offset, same filenames
+    ihm = tmp_path / "ihm"
+    sdm = tmp_path / "sdm"
+    ihm.mkdir()
+    sdm.mkdir()
+    from pase_tpu.data.io import read_wav, write_wav
+    for f in files[:6]:
+        w, _ = read_wav(str(wavdir / f))
+        write_wav(str(ihm / f), w)
+        write_wav(str(sdm / f), w * 0.5)
+    cfg2 = str(tmp_path / "ami.cfg")
+    (tmp_path / "ami.scp").write_text("\n".join(files[:6]))
+    data_prep.build_cfg(_ap.Namespace(
+        data_root=str(sdm), train_scp=str(tmp_path / "ami.scp"),
+        test_scp=None, libri_dict=None, cfg_file=cfg2,
+        val_ratio=0.34, seed=3))
+
+    wk = {"regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                    "hidden_layers": 1, "name": "mfcc", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": []}
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    wk_path, fe_path = str(tmp_path / "wk.cfg"), str(tmp_path / "fe.cfg")
+    with open(wk_path, "w") as f:
+        json.dump(wk, f)
+    with open(fe_path, "w") as f:
+        json.dump(fe, f)
+    dcfg = str(tmp_path / "dist.cfg")
+    with open(dcfg, "w") as f:
+        json.dump({"clip_p": 0.5, "clip_factors": [0.3]}, f)
+
+    argv = ["--net_cfg", wk_path, "--fe_cfg", fe_path,
+            "--data_root", str(wavdir), "--data_cfg", cfg1,
+            "--dtrans_cfg", dcfg,
+            "--dataset", "LibriSpeechSegTupleWavDataset",
+            "--data_root", str(sdm), "--data_cfg", cfg2,
+            "--dtrans_cfg", "None",
+            "--dataset", "AmiSegTupleWavDataset",
+            "--clean_root", str(ihm),
+            "--num_workers", "1", "--batch_size", "8",
+            "--chunk_size", "4800", "--epoch", "1", "--log_freq", "2",
+            "--save_path", str(tmp_path / "ckpt")]
+    opts = train_cli.build_argparser().parse_args(argv)
+    from pase_tpu.trainer import Trainer
+    orig_train = Trainer.train_
+
+    def short_train(self, *a, **k):
+        self.bpe = 2
+        return orig_train(self, *a, **k)
+    Trainer.train_ = short_train
+    try:
+        train_cli.train(opts)
+    finally:
+        Trainer.train_ = orig_train
+    assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")

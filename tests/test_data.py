@@ -321,3 +321,109 @@ def test_device_synthetic_batcher():
     # guaranteed per-sample; at least they must differ from chunk_rand)
     assert not np.allclose(np.asarray(x1["chunk"]),
                            np.asarray(x1["chunk_rand"]))
+
+
+def test_parallel_batcher_aligned_cchunk(corpus, tmp_path):
+    """GenhancementDataset (parallel=True): the batcher crops noisy and
+    clean at ONE shared window and emits the aligned clean as 'cchunk'
+    (reference dataset.py:383-420 chunk_beg/end reuse)."""
+    import shutil
+    from pase_tpu.data.dataset import GenhancementDataset, ChunkBatcher
+    from pase_tpu.data.io import read_wav, write_wav
+    root, cfg = corpus
+    clean = tmp_path / "clean"
+    noisy = tmp_path / "noisy"
+    clean.mkdir()
+    noisy.mkdir()
+    for f in os.listdir(root):
+        if not f.endswith(".wav"):
+            continue
+        w, _ = read_wav(os.path.join(root, f))
+        write_wav(str(clean / f), w)
+        write_wav(str(noisy / f), w + 0.125)   # known additive "noise"
+    ds = GenhancementDataset(str(noisy), str(clean), cfg, "train")
+    bt = ChunkBatcher(ds, 4, 4000, seed=5)
+    batch = bt._make_batch()
+    assert "cchunk" in batch
+    # exact alignment: noisy - clean == the constant offset everywhere
+    np.testing.assert_allclose(batch["chunk"] - batch["cchunk"], 0.125,
+                               atol=2e-4)
+    # ctxt is an independent clean crop, generally NOT the same window
+    assert not np.allclose(batch["chunk_ctxt"], batch["cchunk"])
+
+
+def test_metaconcat_dist_mask(corpus, tmp_path):
+    """MetaConcat dist_flags -> per-sample dist_mask in the batch
+    (per-corpus distortion stacks, run_pase_libri_ami_ihm_sdm.sh)."""
+    import json as _json
+    from pase_tpu.data.dataset import (LibriSpeechTupleDataset,
+                                       MetaConcatDataset, ChunkBatcher)
+    from pase_tpu.data.io import write_wav
+    root, cfg = corpus
+    # second corpus: constant-sign wavs so provenance is identifiable
+    d2root = tmp_path / "d2"
+    d2root.mkdir()
+    files = []
+    for i in range(3):
+        f = f"90{i}-00000-0000.wav"
+        write_wav(str(d2root / f),
+                  np.full(8000, -0.25, np.float32))
+        files.append({"filename": f})
+    with open(d2root / "d2.cfg", "w") as fh:
+        _json.dump({"speakers": ["900", "901", "902"],
+                    "train": {"data": files, "total_wav_dur": 24000,
+                              "speakers": ["900", "901", "902"]}}, fh)
+    d1 = LibriSpeechTupleDataset(root, cfg, "train")
+    d2 = LibriSpeechTupleDataset(str(d2root), str(d2root / "d2.cfg"),
+                                 "train")
+    meta = MetaConcatDataset([d1, d2], dist_flags=[True, False])
+    bt = ChunkBatcher(meta, 16, 4000, seed=3)
+    batch = bt._make_batch()
+    assert "dist_mask" in batch and batch["dist_mask"].shape == (16,)
+    for i in range(16):
+        from_d2 = np.allclose(batch["chunk"][i], -0.25, atol=1e-3)
+        assert batch["dist_mask"][i] == (0.0 if from_d2 else 1.0)
+    assert 0.0 < batch["dist_mask"].mean() < 1.0  # both corpora sampled
+
+
+def test_prepare_respects_dist_mask_and_parallel_cchunk():
+    """prepare(): masked samples keep the undistorted chunk + zero
+    overlap label; an explicit batch cchunk feeds the worker targets."""
+    import jax
+    import jax.numpy as jnp
+    from pase_tpu.data.pipeline import make_prepare_fn
+    from pase_tpu.data.distortions import DistortionConfig, DistortionAssets
+    from pase_tpu.model import parse_workers_cfg
+    meta = parse_workers_cfg(
+        {"regr": [{"num_outputs": 39, "hidden_size": 8, "name": "mfcc",
+                   "r": 1, "loss": "MSELoss", "hidden_layers": 1}],
+         "cls": [{"num_outputs": 1, "hidden_size": 8, "name": "overlap",
+                  "loss": "BCEWithLogitsLoss", "hidden_layers": 1}]})
+    rng = np.random.RandomState(0)
+    t = 4000
+    assets = DistortionAssets(
+        ir_bank=None, ir_pmax=None,
+        noise_bank=jnp.asarray(rng.randn(2, 2 * t).astype(np.float32)),
+        overlap_bank=jnp.asarray(rng.randn(2, 2 * t).astype(np.float32)))
+    cfg = DistortionConfig(noises_p=1.0, overlap_p=1.0)
+    prepare = make_prepare_fn(meta, dist_cfg=cfg, assets=assets, hop=160)
+    chunk = rng.randn(2, t).astype(np.float32) * 0.3
+    cchunk = rng.randn(2, t).astype(np.float32) * 0.3
+    batch = {"chunk": jnp.asarray(chunk),
+             "chunk_ctxt": jnp.asarray(chunk),
+             "chunk_rand": jnp.asarray(chunk),
+             "cchunk": jnp.asarray(cchunk),
+             "dist_mask": jnp.asarray([1.0, 0.0])}
+    out = prepare(batch, jax.random.PRNGKey(1))
+    out = jax.device_get(out)
+    # sample 1 masked: untouched input + zero overlap label
+    np.testing.assert_allclose(out["chunk"][1], chunk[1], atol=1e-6)
+    assert np.all(out["overlap"][1] == 0)
+    # sample 0 distorted (noise at p=1 must change the signal)
+    assert not np.allclose(out["chunk"][0], chunk[0])
+    # targets come from the EXPLICIT clean channel
+    from pase_tpu.ops.features import feature_fn_for_worker
+    ref = np.asarray(feature_fn_for_worker("mfcc", None, hop=160)(
+        jnp.asarray(cchunk)))
+    np.testing.assert_allclose(np.asarray(out["mfcc"]), ref, atol=1e-5)
+    np.testing.assert_allclose(out["cchunk"], cchunk, atol=1e-6)

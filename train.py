@@ -66,7 +66,9 @@ def build_argparser():
                    help="use synthetic data (smoke/bench runs)")
     p.add_argument("--dataset", action="append", default=[],
                    help="LibriSpeechSegTupleWavDataset (default) | "
-                        "PairWavDataset | GenhancementDataset")
+                        "PairWavDataset | GenhancementDataset | "
+                        "AmiSegTupleWavDataset (sdm root + ihm "
+                        "clean_root)")
     p.add_argument("--clean_root", type=str, default=None,
                    help="clean tree for GenhancementDataset")
     p.add_argument("--cache_feats_dir", type=str, default=None,
@@ -100,9 +102,13 @@ def build_distortions(opts, chunk_size):
                                            DistortionAssets, load_ir_bank,
                                            load_wav_bank)
     import glob
-    if not opts.dtrans_cfg:
+    # first real cfg wins (a per-dataset entry may be the sentinel
+    # "None" to disable distortions for that corpus — see make_ds)
+    real = [c for c in (opts.dtrans_cfg or [])
+            if str(c) not in ("None", "none", "")]
+    if not real:
         return None, None, None
-    with open(opts.dtrans_cfg[0]) as f:
+    with open(real[0]) as f:
         dcfg_json = json.load(f)
     cfg = config_from_json(dcfg_json)
     # host-side distortions (codec2 / whisperize) run on raw batches
@@ -192,24 +198,41 @@ def train(opts):
         bpe = 100
     else:
         from pase_tpu.data import dataset as ds_mod
-        ds_name = (opts.dataset[0] if opts.dataset
-                   else "LibriSpeechSegTupleWavDataset")
-        ds_cls = {"LibriSpeechSegTupleWavDataset":
-                  ds_mod.LibriSpeechTupleDataset,
-                  "PairWavDataset": ds_mod.PairWavDataset,
-                  "GenhancementDataset": ds_mod.GenhancementDataset,
-                  }[ds_name]
-        kw = {}
-        if ds_cls is ds_mod.GenhancementDataset:
-            kw["clean_root"] = opts.clean_root
+        _DS_CLS = {"LibriSpeechSegTupleWavDataset":
+                   ds_mod.LibriSpeechTupleDataset,
+                   "PairWavDataset": ds_mod.PairWavDataset,
+                   "GenhancementDataset": ds_mod.GenhancementDataset,
+                   "AmiSegTupleWavDataset": ds_mod.AmiSegTupleWavDataset,
+                   }
+        # repeated --data_root/--data_cfg/--dataset triples concatenate
+        # corpora (MetaWavConcatDataset; the reference's Libri+AMI
+        # recipes, template_scripts/run_pase_libri_ami_ihm_sdm.sh); a
+        # per-dataset --dtrans_cfg of "None" disables distortions for
+        # that corpus's samples (per-sample dist_mask through the batch)
+        n_ds = max(len(opts.data_root), 1)
+
+        def _nth(lst, i, default=None):
+            return lst[i] if i < len(lst) else (
+                lst[0] if lst else default)
+
+        def make_one(i, split, seed):
+            name = _nth(opts.dataset, i, "LibriSpeechSegTupleWavDataset")
+            cls = _DS_CLS[name]
+            if issubclass(cls, ds_mod.GenhancementDataset):
+                return cls(opts.data_root[i], opts.clean_root,
+                           _nth(opts.data_cfg, i), split, seed=seed)
+            return cls(opts.data_root[i], _nth(opts.data_cfg, i), split,
+                       zero_speech_p=opts.zero_speech_p
+                       if split == "train" else 0.0, seed=seed)
 
         def make_ds(split, seed):
-            if ds_cls is ds_mod.GenhancementDataset:
-                return ds_cls(opts.data_root[0], opts.clean_root,
-                              opts.data_cfg[0], split, seed=seed)
-            return ds_cls(opts.data_root[0], opts.data_cfg[0], split,
-                          zero_speech_p=opts.zero_speech_p
-                          if split == "train" else 0.0, seed=seed)
+            parts = [make_one(i, split, seed + 101 * i)
+                     for i in range(n_ds)]
+            if len(parts) == 1:
+                return parts[0]
+            flags = [str(_nth(opts.dtrans_cfg, i, "None")) not in
+                     ("None", "none", "") for i in range(n_ds)]
+            return ds_mod.MetaConcatDataset(parts, dist_flags=flags)
 
         ds = make_ds("train", opts.seed)
         va_ds = make_ds("valid", opts.seed + 1)
