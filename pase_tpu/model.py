@@ -124,6 +124,11 @@ class PASE(nn.Module):
     # loss values are unchanged (up to accumulation order); preds[name]
     # becomes a ("linear", h, kernel, bias) tuple for these workers.
     fused_mse_min_ch: int = 0
+    # always forward cchunk through the encoder even without a
+    # regularizer worker — needed by the legacy --cchunk_prior
+    # z-adversarial mode (core.py:381-384: PASE(cchunk) is the D's
+    # 'real' distribution)
+    force_cchunk: bool = False
 
     def setup(self):
         from pase_tpu.frontend import build_frontend_module
@@ -167,8 +172,8 @@ class PASE(nn.Module):
         # the encoder only sees cchunk when a regularizer ties
         # PASE(chunk) to PASE(cchunk) (pase.py:300-317); the cchunk
         # DECODER worker's target is the raw clean wav from the batch
-        self.fwd_cchunk = any("cchunk" in e["name"]
-                              for e in self._regu_meta)
+        self.fwd_cchunk = self.force_cchunk or any(
+            "cchunk" in e["name"] for e in self._regu_meta)
 
     @property
     def worker_names(self) -> List[str]:
@@ -371,7 +376,8 @@ def worker_losses(model_meta, preds, labels):
 
 def build_pase(frontend_cfg, workers_cfg, att_cfg=None,
                chunking_K=None,
-               fused_mse_min_ch: int = 0) -> Tuple[PASE, Dict[str, Any]]:
+               fused_mse_min_ch: int = 0,
+               force_cchunk: bool = False) -> Tuple[PASE, Dict[str, Any]]:
     """Construct the model + normalized metadata from JSON cfgs/paths.
     att_cfg selects the pase_attention variant; chunking_K the
     pase_chunking variant (trainer.py:51-71 dispatch in the reference)."""
@@ -387,7 +393,8 @@ def build_pase(frontend_cfg, workers_cfg, att_cfg=None,
                  workers_cfg=_freeze(meta),
                  att_cfg=_freeze(att_cfg) if att_cfg else None,
                  chunking_K=chunking_K,
-                 fused_mse_min_ch=int(fused_mse_min_ch))
+                 fused_mse_min_ch=int(fused_mse_min_ch),
+                 force_cchunk=bool(force_cchunk))
     return model, meta
 
 

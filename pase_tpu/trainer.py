@@ -63,10 +63,14 @@ class Trainer:
         # ~10 ms/step on a v5e chip (losses.framed_mse_linear). On by
         # default; cfg fused_heads=False restores the materializing path.
         fused_min = 4096 if cfg.get("fused_heads", True) else 0
+        # --cchunk_prior z-GAN needs PASE(cchunk) even without a
+        # cchunk regularizer worker (core.py:381-384)
+        _force_cc = bool(gan_cfg and gan_cfg.get("type") == "z"
+                         and gan_cfg.get("cchunk_prior"))
         self.model, self.meta = build_pase(
             frontend_cfg, workers_cfg, att_cfg=cfg.get("att_cfg"),
             chunking_K=cfg.get("chunking_K"),
-            fused_mse_min_ch=fused_min)
+            fused_mse_min_ch=fused_min, force_cchunk=_force_cc)
         from pase_tpu.frontend import build_frontend_module, load_cfg
         fe_mod = build_frontend_module(load_cfg(frontend_cfg))
         self.model_emb_dim = getattr(fe_mod, "output_dim",
@@ -311,8 +315,13 @@ class Trainer:
                         losses[f"hist/{n}"] = _hist(materialize_pred(
                             preds[n]))
                         losses[f"hist/gtruth_{n}"] = _hist(labels[n])
-                fake = None
+                fake = z_real_h = None
                 if gan_cfg is not None:
+                    if gan_type == "z" and gan_cfg.get("cchunk_prior"):
+                        # real side = PASE(cchunk): push noisy-chunk
+                        # embeddings toward clean-chunk embeddings
+                        # (core.py:381-384 cchunk_prior)
+                        z_real_h = h["cchunk"]
                     # generator objective: D(fake) should look real; D
                     # params are a closed-over constant inside loss_fn so
                     # only the generator receives these gradients
@@ -328,11 +337,11 @@ class Trainer:
                     total = total + gan_weight * gan_ramp(state.step) * gl
                 losses["total"] = total
                 return total, (losses, ups.get("batch_stats", {}),
-                               alpha_next, new_pstate, fake)
+                               alpha_next, new_pstate, fake, z_real_h)
 
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params)
-            losses, new_bs, alpha_next, new_pstate, fake = aux
+            losses, new_bs, alpha_next, new_pstate, fake, z_real_h = aux
             if log_grads:
                 # per-component grad norms (reference get_grad_norms
                 # observability, pase/utils.py:188-203)
@@ -347,8 +356,12 @@ class Trainer:
                                      state.d_opt_state)
             if gan_cfg is not None:
                 if gan_type == "z":
-                    real = jax.random.normal(jax.random.fold_in(rng, 3),
-                                             fake.shape)
+                    # real distribution: N(0,1) prior, or PASE(cchunk)
+                    # under cchunk_prior (core.py:381-384)
+                    real = (jax.lax.stop_gradient(z_real_h)
+                            if z_real_h is not None else
+                            jax.random.normal(jax.random.fold_in(rng, 3),
+                                              fake.shape))
                 else:
                     real = batch["cchunk"][..., None]
                 fake_sg = jax.lax.stop_gradient(fake)

@@ -205,3 +205,37 @@ def test_z_adversarial_warmup_ramp():
     # total now includes 0.1 * ramp(0.5) * z_g
     assert not np.isclose(float(l1["total"]), float(l1["mfcc"]),
                           rtol=1e-5)
+
+
+def test_z_adversarial_cchunk_prior():
+    """gan_cfg cchunk_prior: the z-discriminator's 'real' samples are
+    PASE(cchunk) embeddings instead of N(0,1) (core.py:381-384) — the
+    model forwards cchunk even without a regularizer worker."""
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.parallel.mesh import get_mesh, shard_batch
+    workers = {
+        "regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                  "hidden_layers": 1, "name": "mfcc", "r": 1,
+                  "loss": "MSELoss", "skip": False}],
+        "cls": [],
+    }
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    cfg = dict(backprop_mode="base", hop=160, bpe=1, epoch=1, batch_size=8,
+               chunk_size=4800, log_freq=1, save_path="/tmp/pase_zccp")
+    tr = Trainer(fe, workers, cfg, mesh=get_mesh(),
+                 gan_cfg={"type": "z", "loss": "BCE", "lr": 5e-4,
+                          "weight": 0.1, "cchunk_prior": True})
+    assert tr.model.force_cchunk
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    b = iter(SyntheticChunkBatcher(8, 4800, seed=0))
+    for _ in range(2):
+        raw = shard_batch({k: jnp.asarray(v) for k, v in next(b).items()},
+                          tr.mesh)
+        state, losses = step(state, raw)
+    l = jax.device_get(losses)
+    assert "z_g" in l and "d_loss" in l
+    for k, v in l.items():
+        assert np.isfinite(float(v)), k

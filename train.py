@@ -80,7 +80,10 @@ def build_argparser():
     p.add_argument("--compute_dtype", type=str, default=None,
                    help="bfloat16 for mixed-precision MXU passes")
     p.add_argument("--gan_cfg", type=str, default=None,
-                   help="JSON: {worker, loss, lr, weight} GAN worker")
+                   help="JSON: {worker, loss, lr, weight} GAN worker; "
+                        "type='z' also takes warmup/zinit_weight/zinc "
+                        "(legacy ramp) and cchunk_prior (real = "
+                        "PASE(cchunk), core.py:381-384)")
     # model-variant selection (reference train.py:312-321,432-434):
     # att_cfg JSON switches to the pase_attention variant,
     # chunking_K to pase_chunking fixed channel masks
