@@ -146,7 +146,7 @@ class CachedTargetBatcher(ChunkBatcher):
         for i in range(b):
             idx = self.rng.randint(len(self.ds))
             uttname = self.ds.wavs[idx]["filename"]
-            wav, cwav, rwav = self.ds.sample_tuple(idx)
+            wav, cwav, rwav = self.ds.sample_tuple(idx, self.rng)
             beg = (self.rng.randint(0, len(wav) - t)
                    if len(wav) > t else 0)
             chunk[i] = (wav[beg:beg + t] if len(wav) > t

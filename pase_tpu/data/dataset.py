@@ -64,9 +64,14 @@ class LibriSpeechTupleDataset:
             self.wav_cache[fname] = wav
         return wav
 
-    def sample_tuple(self, index: int):
-        if self.rng.rand() < self.zero_speech_p:
-            wav = zerospeech(int(5 * 16e3), self.rng)
+    def sample_tuple(self, index: int, rng=None):
+        """rng: optional caller-owned RandomState. Threaded batchers MUST
+        pass their per-thread RNG — the dataset's own self.rng is a
+        single-consumer fallback, not thread-safe (wav_cache writes are
+        GIL-atomic dict assignments; a duplicate load is benign)."""
+        rng = self.rng if rng is None else rng
+        if rng.rand() < self.zero_speech_p:
+            wav = zerospeech(int(5 * 16e3), rng)
             cwav = wav
         else:
             uttname = self.wavs[index]["filename"]
@@ -74,8 +79,8 @@ class LibriSpeechTupleDataset:
             prefix = self.rec.sub("", uttname)
             neighbors = [n for n in self.neighbor_prefixes[prefix]
                          if n != uttname]
-            cwav = self._load(self.rng.choice(neighbors)) if neighbors else wav
-        rindex = self.rng.randint(len(self.wavs) - 1)
+            cwav = self._load(rng.choice(neighbors)) if neighbors else wav
+        rindex = rng.randint(len(self.wavs) - 1)
         if rindex >= index:
             rindex += 1
         rwav = self._load(self.wavs[rindex]["filename"])
@@ -139,7 +144,7 @@ class ChunkBatcher:
         for i in range(b):
             idx = self.rng.randint(len(ds))
             sub = ds.datasets[ds._locate(idx)[0]] if subsets else ds
-            wav, cwav, rwav = ds.sample_tuple(idx)
+            wav, cwav, rwav = ds.sample_tuple(idx, self.rng)
             if getattr(sub, "parallel", False):
                 # parallel clean/noisy: one shared window for chunk and
                 # cchunk (reference GenhancementDataset semantics); the
@@ -170,7 +175,12 @@ class ChunkBatcher:
 
         def worker():
             while not stop.is_set():
-                batch = self._make_batch()
+                try:
+                    batch = self._make_batch()
+                except BaseException as e:   # noqa: BLE001
+                    # propagate to the consumer — a silently-dead
+                    # producer would block q.get() forever
+                    batch = ("__producer_error__", e)
                 # bounded put that re-checks stop: a producer blocked on a
                 # full queue must exit when the consumer goes away, or
                 # repeated iter() leaks a thread per epoch loop
@@ -180,12 +190,18 @@ class ChunkBatcher:
                         break
                     except queue_mod.Full:
                         continue
+                if isinstance(batch, tuple):
+                    return
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, tuple) and len(item) == 2 and \
+                        item[0] == "__producer_error__":
+                    raise item[1]
+                yield item
         finally:
             stop.set()
 
@@ -215,15 +231,29 @@ class ThreadedPrefetcher:
         stop = threading.Event()
 
         def worker(tid):
-            it = iter(self.make_iter(tid))
+            try:
+                it = iter(self.make_iter(tid))
+            except BaseException as e:   # noqa: BLE001
+                it = None
+                err = e
             while not stop.is_set():
-                batch = next(it)
+                if it is None:
+                    batch = ("__producer_error__", err)
+                else:
+                    try:
+                        batch = next(it)
+                    except BaseException as e:   # noqa: BLE001
+                        # propagate — if every producer died silently,
+                        # the consumer's q.get() would block forever
+                        batch = ("__producer_error__", e)
                 while not stop.is_set():
                     try:
                         q.put(batch, timeout=0.25)
                         break
                     except queue_mod.Full:
                         continue
+                if isinstance(batch, tuple):
+                    return
 
         threads = [threading.Thread(target=worker, args=(tid,), daemon=True)
                    for tid in range(self.n_threads)]
@@ -231,7 +261,13 @@ class ThreadedPrefetcher:
             th.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, tuple) and len(item) == 2 and \
+                        item[0] == "__producer_error__":
+                    if isinstance(item[1], StopIteration):
+                        return    # finite per-thread iterator drained
+                    raise item[1]
+                yield item
         finally:
             stop.set()
 
@@ -240,8 +276,8 @@ class PairWavDataset(LibriSpeechTupleDataset):
     """(current, random) pairs — no neighbor context; the MI context
     chunk falls back to the current wav (pase/dataset.py:274-330)."""
 
-    def sample_tuple(self, index: int):
-        wav, _, rwav = super().sample_tuple(index)
+    def sample_tuple(self, index: int, rng=None):
+        wav, _, rwav = super().sample_tuple(index, rng)
         return wav, wav, rwav
 
 
@@ -273,11 +309,12 @@ class GenhancementDataset(LibriSpeechTupleDataset):
             self.wav_cache[key] = wav
         return wav
 
-    def sample_tuple(self, index: int):
+    def sample_tuple(self, index: int, rng=None):
+        rng = self.rng if rng is None else rng
         uttname = self.wavs[index]["filename"]
         noisy = self._load(uttname)
         clean = self._load_clean(uttname)
-        rindex = self.rng.randint(len(self.wavs) - 1)
+        rindex = rng.randint(len(self.wavs) - 1)
         if rindex >= index:
             rindex += 1
         rwav = self._load(self.wavs[rindex]["filename"])
@@ -410,9 +447,9 @@ class MetaConcatDataset:
                 return i, index - self._offsets[i]
         return 0, index
 
-    def sample_tuple(self, index: int):
+    def sample_tuple(self, index: int, rng=None):
         i, sub = self._locate(index)
-        return self.datasets[i].sample_tuple(sub)
+        return self.datasets[i].sample_tuple(sub, rng)
 
     def dist_mask_of(self, index: int) -> float:
         if self.dist_flags is None:

@@ -287,14 +287,10 @@ def _iacf_mat(nfft, lag_max):
     return jnp.asarray(_iacf_mat_np(nfft, lag_max))
 
 
-@functools.lru_cache(maxsize=8)
-def _dft_mats_np(win: int, n_fft: int):
-    from pase_tpu.ops.signal import _dft_mats
-    return _dft_mats(win, n_fft)
-
-
 def _dft_mats_cached(win, n_fft):
-    c, s = _dft_mats_np(win, n_fft)
+    # signal._dft_mats is already lru_cache'd — no second cache layer
+    from pase_tpu.ops.signal import _dft_mats
+    c, s = _dft_mats(win, n_fft)
     return jnp.asarray(c), jnp.asarray(s)
 
 

@@ -97,18 +97,28 @@ def _ls_bwd(res, dc):
 linear_scan.defvjp(_ls_fwd, _ls_bwd)
 
 
-def forget_mult_pallas(f, z):
-    """ForgetMult via the Pallas linear scan: c_t = f_t z_t + (1-f_t)c_{t-1}."""
-    return linear_scan(1.0 - f, f * z)
+def forget_mult_pallas(f, z, c0=None):
+    """ForgetMult via the Pallas linear scan: c_t = f_t z_t + (1-f_t)c_{t-1}.
+
+    c0 [B, H] seeds the recurrence (streaming carry): with a = 1-f and
+    b = f*z, c_1 = a_1 c0 + b_1, so folding a_1*c0 into b_1 makes the
+    zero-init kernel compute the seeded scan EXACTLY (the kernel steps
+    sequentially, so block-streamed and full-sequence evaluations are
+    bit-identical — pase_tpu/streaming.py relies on this)."""
+    a = 1.0 - f
+    b = f * z
+    if c0 is not None:
+        b = b.at[:, 0].add(a[:, 0] * c0.astype(b.dtype))
+    return linear_scan(a, b)
 
 
-def qrnn_pool_pallas(y):
+def qrnn_pool_pallas(y, c0=None):
     """Window-2 QRNN pooling with the Pallas scan (same contract as
-    ops.qrnn.qrnn_pool)."""
+    ops.qrnn.qrnn_pool, incl. the c0 streaming carry)."""
     z, f, o = jnp.split(y, 3, axis=-1)
     z = jnp.tanh(z)
     f = jax.nn.sigmoid(f)
-    c = forget_mult_pallas(f, z)
+    c = forget_mult_pallas(f, z, c0)
     h = jax.nn.sigmoid(o) * c
     return h, c[:, -1]
 

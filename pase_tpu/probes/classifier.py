@@ -178,6 +178,21 @@ def train_mlp_probe(train_x: np.ndarray, train_y: np.ndarray,
             "model": model}, metrics
 
 
+def frame_error_rate(model_vars, x, y, bs: int = 8192) -> float:
+    """Frame error of a trained probe on held-out frames (module-level
+    counterpart of train_mlp_probe's internal dev monitor)."""
+    model = model_vars["model"]
+    errs, n = 0, 0
+    for i in range(0, len(x), bs):
+        out = model.apply({"params": model_vars["params"],
+                           "batch_stats": model_vars["batch_stats"]},
+                          jnp.asarray(x[i:i + bs]), train=False)
+        pred = np.asarray(jnp.argmax(out, axis=-1))
+        errs += (pred != y[i:i + bs]).sum()
+        n += len(pred)
+    return float(errs) / max(n, 1)
+
+
 def sentence_accuracy(model_vars, utt_feats: List[np.ndarray],
                       utt_labels: List[int]) -> float:
     """Sentence-level decision = argmax of mean per-frame log-posterior

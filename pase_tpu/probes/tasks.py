@@ -213,11 +213,20 @@ def run_kfold_classification(fe_cfg, fe_ckpt, data_list, data_root="",
 
         _, _, x_tr, y_tr = flat(tr)
         te_f, te_y, x_te, y_te = flat(te)
+        # the held-out valid_p slice drives lr halving / model
+        # selection; test frames are only ever EVALUATED (falls back to
+        # the test fold as dev when valid_p leaves nothing, preserving
+        # the fast-probe recipe's monitor-on-test behavior)
+        if va:
+            _, _, x_dev, y_dev = flat(va)
+        else:
+            x_dev, y_dev = x_te, y_te
         model_vars, metrics = train_mlp_probe(
-            x_tr, y_tr, x_te, y_te, num_classes=len(labels),
+            x_tr, y_tr, x_dev, y_dev, num_classes=len(labels),
             hidden=tuple(hidden), epochs=epochs, lr=lr,
             batch_size=batch_size, seed=seed + fi, log=None)
-        fa = 1.0 - metrics["dev_frame_error"]
+        from pase_tpu.probes.classifier import frame_error_rate
+        fa = 1.0 - frame_error_rate(model_vars, x_te, y_te)
         sa = sentence_accuracy(model_vars, te_f, te_y)
         frame_accs.append(fa)
         sent_accs.append(sa)

@@ -46,6 +46,14 @@ knowing the total length in advance; streaming then emits
 ``floor(T/160)`` frames with the canonical factor instead
 (tests/test_streaming.py pins both behaviors).
 
+TPU precision caveat: equality holds at f32 matmul precision
+(``jax_default_matmul_precision='highest'``, ~2e-7 measured on chip).
+The TPU DEFAULT bf16-ish conv passes add O(1e-2) noise that differs
+between blocked and full-sequence evaluation — extraction CLIs
+(forward-chunk) set 'highest'. The QRNN pooling itself resolves to the
+same kernel as the offline encoder ('auto' -> Pallas on TPU) and its
+seeded block evaluation is bit-exact under any chunking.
+
 Usage::
 
     enc = wf_builder('cfg/frontend/PASE+.cfg')
@@ -58,6 +66,8 @@ Usage::
 
 from typing import List, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,13 +77,23 @@ from pase_tpu.ops.pad import pad_1d, feblock_pad, sinc_same_pad
 from pase_tpu.ops.qrnn import qrnn_pool
 
 
-@jax.jit
-def _qrnn_layer(w, b, prev, carry, h):
-    """One chunk through one QRNN layer (jitted; recompiles per shape)."""
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _qrnn_layer(w, b, prev, carry, h, impl="scan"):
+    """One chunk through one QRNN layer (jitted; recompiles per shape).
+
+    impl mirrors nn.QRNN: the streaming pool MUST use the same
+    ForgetMult evaluation as the offline encoder or the documented
+    streaming/offline equality breaks (the Pallas linear scan steps
+    sequentially, so seeded block evaluation is bit-identical to the
+    full sequence; see forget_mult_pallas)."""
     shifted = jnp.concatenate([prev, h[:, :-1]], axis=1)
     src = jnp.concatenate([h, shifted], axis=-1)
     y = src @ w + b
-    h2, c_t = qrnn_pool(y.astype(jnp.float32), c0=carry)
+    if impl == "pallas":
+        from pase_tpu.ops.pallas_qrnn import qrnn_pool_pallas
+        h2, c_t = qrnn_pool_pallas(y.astype(jnp.float32), c0=carry)
+    else:
+        h2, c_t = qrnn_pool(y.astype(jnp.float32), c0=carry)
     return h2, c_t
 
 
@@ -179,12 +199,18 @@ class _PoolStream:
 class _QRNNStream:
     """Window-2 QRNN with cross-chunk (x_{t-1}, c) state (ops/qrnn.py)."""
 
-    def __init__(self, params, layers: int):
+    def __init__(self, params, layers: int, impl: str = "auto"):
         self.kernels = [(jnp.asarray(params[f"layers_{li}_linear"]["kernel"]),
                          jnp.asarray(params[f"layers_{li}_linear"]["bias"]))
                         for li in range(layers)]
         self.prev: List[Optional[jnp.ndarray]] = [None] * layers
         self.carry: List[Optional[jnp.ndarray]] = [None] * layers
+        # resolve 'auto' exactly like nn.QRNN so streaming uses the
+        # SAME ForgetMult kernel as the offline encoder
+        if impl == "auto":
+            from pase_tpu.ops.pallas_qrnn import pallas_available
+            impl = "pallas" if pallas_available() else "scan"
+        self.impl = impl
 
     def push(self, h):
         if h is None or h.shape[1] == 0:
@@ -194,7 +220,8 @@ class _QRNNStream:
             if prev is None:
                 prev = jnp.zeros_like(h[:, :1])
             h_in = h
-            h, c_t = _qrnn_layer(w, b, prev, self.carry[li], h_in)
+            h, c_t = _qrnn_layer(w, b, prev, self.carry[li], h_in,
+                                 impl=self.impl)
             self.prev[li] = h_in[:, -1:]
             self.carry[li] = c_t
         return h
@@ -271,7 +298,9 @@ class StreamingEncoder:
             if module.rnn_type != "qrnn":
                 raise NotImplementedError(
                     f"streaming rnn_type={module.rnn_type!r} not implemented")
-            self.qrnn = _QRNNStream(params["rnn"], module.rnn_layers)
+            self.qrnn = _QRNNStream(params["rnn"], module.rnn_layers,
+                                    impl=getattr(module, "qrnn_impl",
+                                                 "auto"))
 
         self.w_kernel = jnp.asarray(params["W"]["kernel"])
         self.w_bias = jnp.asarray(params["W"]["bias"])

@@ -377,13 +377,23 @@ class Trainer:
 
                 (dl, d_bs), d_grads = jax.value_and_grad(
                     d_objective, has_aux=True)(d_params)
-                d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+
+                def d_apply(ops):
+                    dp, do = ops
+                    d_updates, do = d_tx.update(d_grads, do, dp)
+                    return optax.apply_updates(dp, d_updates), do
+
                 if gan_warmup:
-                    # D training also starts at warm-up (core.py:378)
-                    d_gate = (state.step >= gan_warmup).astype(jnp.float32)
-                    d_updates = jax.tree.map(lambda u: u * d_gate,
-                                             d_updates)
-                d_params = optax.apply_updates(d_params, d_updates)
+                    # D training starts AT warm-up (core.py:378): skip
+                    # the whole optimizer update before it so Adam
+                    # moments/step count stay untouched (a zeroed update
+                    # would still advance them and shrink the first real
+                    # post-warmup steps via stale bias correction)
+                    d_params, d_opt = jax.lax.cond(
+                        state.step >= gan_warmup, d_apply,
+                        lambda ops: ops, (d_params, d_opt))
+                else:
+                    d_params, d_opt = d_apply((d_params, d_opt))
                 losses["d_loss"] = dl
 
             new_state = TrainState(

@@ -41,7 +41,10 @@ def main():
     p.add_argument("--mode", default="avg_concat")
     p.add_argument("--feature_type", default="pase",
                    help="pase | mfcc | fbank (classical baseline)")
-    p.add_argument("--hidden", type=int, nargs="+", default=[256])
+    p.add_argument("--hidden", type=int, nargs="+", default=None,
+                   help="MLP hidden sizes; default 256 for utt/frames, "
+                        "linear classifier for kfold (pass sizes to "
+                        "request an MLP)")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=2048)
@@ -88,7 +91,7 @@ def main():
             opts.fe_cfg, opts.fe_ckpt, opts.train_list,
             data_root=opts.data_root, folds=opts.folds,
             valid_p=opts.valid_p, mode=opts.mode,
-            hidden=tuple(opts.hidden) if opts.hidden != [256] else (),
+            hidden=tuple(opts.hidden) if opts.hidden else (),
             epochs=opts.epochs, lr=opts.lr, batch_size=opts.batch_size,
             seed=opts.seed, max_utts=opts.max_utts,
             feature_type=opts.feature_type)
@@ -96,14 +99,15 @@ def main():
         metrics = tasks.run_utt_classification(
             opts.fe_cfg, opts.fe_ckpt, opts.train_list, opts.test_list,
             data_root=opts.data_root, mode=opts.mode,
-            hidden=tuple(opts.hidden), epochs=opts.epochs, lr=opts.lr,
-            batch_size=opts.batch_size, seed=opts.seed,
+            hidden=tuple(opts.hidden or [256]), epochs=opts.epochs,
+            lr=opts.lr, batch_size=opts.batch_size, seed=opts.seed,
             max_utts=opts.max_utts, feature_type=opts.feature_type)
     elif opts.task == "frames":
         metrics = tasks.run_frame_classification(
             opts.fe_cfg, opts.fe_ckpt, opts.train_list, opts.test_list,
             data_root=opts.data_root, num_classes=opts.num_classes,
-            left=opts.left, right=opts.right, hidden=tuple(opts.hidden),
+            left=opts.left, right=opts.right,
+            hidden=tuple(opts.hidden or [256]),
             epochs=opts.epochs, lr=opts.lr, max_utts=opts.max_utts)
     else:
         metrics = tasks.run_knn_probe(

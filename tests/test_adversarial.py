@@ -191,6 +191,12 @@ def test_z_adversarial_warmup_ramp():
     state, losses0 = step(state, raw)          # step 0 < warmup: gated
     d_after0 = dp0()
     np.testing.assert_array_equal(d_before, d_after0)
+    # the whole optimizer update is skipped pre-warmup: Adam moments and
+    # step count must be untouched (not merely a zeroed update)
+    counts = [int(jax.device_get(l)) for l in
+              jax.tree_util.tree_leaves(state.d_opt_state)
+              if getattr(l, "ndim", None) == 0]
+    assert all(c == 0 for c in counts), counts
     l0 = jax.device_get(losses0)
     # z_g is reported but its weighted contribution is zero
     mfcc_plus_total0 = float(l0["total"])

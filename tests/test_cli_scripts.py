@@ -196,8 +196,10 @@ def test_prosodic_eval_cli(tmp_path):
     from pase_tpu.trainer import Trainer
     from pase_tpu.data.dataset import SyntheticChunkBatcher
     from pase_tpu.parallel.mesh import get_mesh, shard_batch
+    # r=7 exercises the d-major multi-frame head layout (channel
+    # c = d*r + j) the evaluator must center-slice
     wk = {"regr": [{"num_outputs": 12, "dropout": 0, "hidden_size": 32,
-                    "hidden_layers": 1, "name": "prosody", "r": 1,
+                    "hidden_layers": 1, "name": "prosody", "r": 7,
                     "loss": "MSELoss", "skip": False}],
           "cls": []}
     fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
@@ -229,9 +231,14 @@ def test_prosodic_eval_cli(tmp_path):
     fe_p, wk_p = str(tmp_path / "fe.cfg"), str(tmp_path / "wk.cfg")
     json.dump(fe, open(fe_p, "w"))
     json.dump(wk, open(wk_p, "w"))
+    import pickle
+    stats_p = str(tmp_path / "st.pkl")
+    with open(stats_p, "wb") as f:
+        pickle.dump({"prosody": {"mean": np.zeros(12, np.float32),
+                                 "std": np.ones(12, np.float32)}}, f)
     opts = argparse.Namespace(fe_cfg=fe_p, net_cfg=wk_p, ckpt=ckpt,
                               wav_list=str(lst), data_root=str(wav_dir),
-                              stats=None, max_utts=None,
+                              stats=stats_p, max_utts=None,
                               out_file=str(tmp_path / "proso.json"))
     res = util_scripts.prosodic_eval(opts)
     for k in ("lf0_rmse", "egy_rmse", "zcr_rmse", "uv_acc"):
@@ -409,7 +416,7 @@ def test_profile_step_cli(tmp_path, capsys):
         json.dump(fe, f)
     util_scripts.profile_step(argparse.Namespace(
         net_cfg=wk_path, fe_cfg=fe_path, batch_size=8, chunk_size=4800,
-        compute_dtype=None, n_meas=2))
+        compute_dtype=None, n_meas=2, bare=False))
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(out) == {"prepare_ms", "step_ms", "model_opt_ms",
                         "steps_per_sec", "audio_sec_per_sec"}

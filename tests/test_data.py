@@ -218,7 +218,7 @@ def test_chunk_batcher_thread_cleanup():
         def __len__(self):
             return 4
 
-        def sample_tuple(self, idx):
+        def sample_tuple(self, idx, rng=None):
             w = np.random.RandomState(idx).randn(3200).astype(np.float32)
             return w, w, w
 
@@ -235,6 +235,26 @@ def test_chunk_batcher_thread_cleanup():
         time.sleep(0.1)
     assert threading.active_count() <= base, (
         f"leaked {threading.active_count() - base} producer threads")
+
+
+def test_chunk_batcher_propagates_producer_error():
+    """A crashing producer must raise in the consumer, not deadlock
+    q.get() forever."""
+    from pase_tpu.data.dataset import ChunkBatcher
+
+    class _BadDS:
+        total_wav_dur = 16000 * 4
+
+        def __len__(self):
+            return 4
+
+        def sample_tuple(self, idx, rng=None):
+            raise RuntimeError("boom")
+
+    bt = ChunkBatcher(_BadDS(), batch_size=2, chunk_size=1600, prefetch=1)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        next(iter(bt))
 
 
 def test_feats_and_wav_class_datasets(tmp_path):

@@ -113,3 +113,33 @@ def test_qrnn_module_impl_flag_equality():
         y_pal = pal_m.apply(v, x)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_pool_carry_matches_scan_and_blocks():
+    """Seeded Pallas pooling (c0 folded into the first step) matches the
+    associative-scan pool with carry, and block-streamed evaluation
+    reconstructs the full sequence — the streaming/offline equality the
+    TPU default path relies on (pase_tpu/streaming.py)."""
+    from pase_tpu.ops.qrnn import qrnn_pool
+    from pase_tpu.ops import pallas_qrnn as mod
+    import jax.experimental.pallas.tpu as pltpu
+
+    rng = np.random.RandomState(7)
+    y = jnp.asarray(rng.randn(2, 24, 3 * 8).astype(np.float32))
+    c0 = jnp.asarray(rng.randn(2, 8).astype(np.float32))
+
+    h_ref, c_ref = qrnn_pool(y, c0=c0)
+    with pltpu.force_tpu_interpret_mode():
+        h_pl, c_pl = mod.qrnn_pool_pallas(y, c0=c0)
+        # block-streamed: two halves with carry threading
+        h1, c1 = mod.qrnn_pool_pallas(y[:, :12], c0=c0)
+        h2, c2 = mod.qrnn_pool_pallas(y[:, 12:], c0=c1)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(h1), np.asarray(h2)], axis=1),
+        np.asarray(h_pl), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c_pl),
+                               atol=1e-6)

@@ -12,7 +12,8 @@ Mirrors the reference entrypoint (/root/reference/train.py:336-465):
 
 Differences from the reference (TPU-native design):
   * feature targets + distortions run on-device inside the jitted step
-    (no DataLoader workers; --num_workers controls host prefetch only),
+    (--num_workers spawns host prefetch threads that only decode/crop
+    wavs — each with its own batcher RNG over the shared dataset),
   * training is batch-sharded over all available devices (ICI data
     parallelism) automatically.
 """

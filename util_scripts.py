@@ -21,7 +21,14 @@ import numpy as np
 
 
 def forward_chunk(opts):
+    import jax
     import jax.numpy as jnp
+    # feature extraction runs at full precision: the TPU default
+    # bf16-ish convs add O(1e-2) noise that differs between blocked
+    # (streaming) and full-sequence evaluation and breaks the torch
+    # parity contract; at 'highest' streaming==offline to ~2e-7
+    # (measured on a real chip)
+    jax.config.update("jax_default_matmul_precision", "highest")
     from pase_tpu.frontend import wf_builder
     from pase_tpu.data.io import read_wav
     enc = wf_builder(opts.fe_cfg)
@@ -180,8 +187,14 @@ def precompute_feats(opts):
 
 def profile_step(opts):
     """Device-synced train-step decomposition (pase_tpu/profiling.py):
-    prepare vs model+opt cost, steps/s, audio-s/s. One JSON line."""
+    prepare vs model+opt cost, steps/s, audio-s/s. One JSON line.
+
+    By default the prepare stage includes the bench.py distortion stack
+    (synthetic assets) AND ZNorm so the decomposition measures the FULL
+    pipeline; --bare drops both (model+targets only)."""
     import json as _json
+
+    import jax.numpy as jnp
 
     from pase_tpu.profiling import profile_train_step
     from pase_tpu.trainer import Trainer
@@ -193,7 +206,31 @@ def profile_step(opts):
                batch_size=opts.batch_size, chunk_size=opts.chunk_size,
                log_freq=100, save_path="/tmp/profile_step",
                compute_dtype=opts.compute_dtype)
-    tr = Trainer(fe, wk, cfg)
+    dcfg = assets = stats = None
+    if not opts.bare:
+        from pase_tpu.data.dataset import SyntheticChunkBatcher
+        from pase_tpu.data.distortions import (DistortionConfig,
+                                               DistortionAssets)
+        from pase_tpu.data.pipeline import compute_stats
+        from pase_tpu.model import parse_workers_cfg
+        T = opts.chunk_size
+        rng = np.random.RandomState(0)
+        ir = np.zeros((4, 8000), np.float32)
+        ir[:, 0] = 1.0
+        ir[0, 1000] = 0.4
+        ir[1, 2000] = 0.2
+        assets = DistortionAssets(
+            ir_bank=jnp.asarray(ir), ir_pmax=jnp.asarray([0, 0, 0, 0]),
+            noise_bank=jnp.asarray(
+                rng.randn(8, T * 2).astype(np.float32) * .1),
+            overlap_bank=jnp.asarray(
+                rng.randn(4, T * 2).astype(np.float32) * .1))
+        dcfg = DistortionConfig(reverb_p=.5, overlap_p=.1, noises_p=.4,
+                                clip_p=.2, chop_p=.2)
+        stats = compute_stats(SyntheticChunkBatcher(8, T, seed=11),
+                              parse_workers_cfg(wk), max_batches=2)
+    tr = Trainer(fe, wk, cfg, stats=stats, dist_cfg=dcfg,
+                 dist_assets=assets)
     out = profile_train_step(tr, opts.batch_size, opts.chunk_size,
                              n_meas=opts.n_meas)
     print(_json.dumps(out))
@@ -369,8 +406,13 @@ def prosodic_eval(opts):
         wav, _ = read_wav(os.path.join(opts.data_root, p))
         t = (len(wav) // 160) * 160
         x = jnp.asarray(wav[None, :t], jnp.float32)
-        pred = np.asarray(fwd(x))[0]                 # [F, 4(+deltas)]
-        truth = np.asarray(prosody(x))[0]
+        pred = np.asarray(fwd(x))[0]          # [F, D*r] d-major r-framed
+        truth = np.asarray(prosody(x))[0]     # [F, D]
+        r = int(meta["regr"][idx].get("r", 1) or 1)
+        if r > 1:
+            # multi-frame head (ContextualizedLoss layout: channel
+            # c = d*r + j) — evaluate the center-offset prediction
+            pred = pred.reshape(len(pred), -1, r)[..., r // 2]
         if stats and "prosody" in stats:
             mean = np.asarray(stats["prosody"]["mean"]).reshape(-1)
             std = np.asarray(stats["prosody"]["std"]).reshape(-1)
@@ -492,6 +534,8 @@ def main():
     ps.add_argument("--chunk_size", type=int, default=32000)
     ps.add_argument("--compute_dtype", default=None)
     ps.add_argument("--n_meas", type=int, default=20)
+    ps.add_argument("--bare", action="store_true", default=False,
+                    help="skip distortions + ZNorm (model+targets only)")
 
     vp = sub.add_parser("vadproc")
     vp.add_argument("--wav_list", required=True)
