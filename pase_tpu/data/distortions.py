@@ -41,8 +41,10 @@ class DistortionAssets(NamedTuple):
     ir_pmax: Optional[jnp.ndarray] = None        # [n_ir] argmax(|ir|)
     noise_bank: Optional[jnp.ndarray] = None     # [n_noise, L_n]
     overlap_bank: Optional[jnp.ndarray] = None   # [n_ov, L_o]
-    bandrop_bank: Optional[jnp.ndarray] = None   # [n_f, L_f]
+    bandrop_bank: Optional[jnp.ndarray] = None   # [n_f, L_f], zero-padded
+    bandrop_lens: Optional[jnp.ndarray] = None   # [n_f] true filter lens
     downsample_bank: Optional[jnp.ndarray] = None
+    downsample_lens: Optional[jnp.ndarray] = None
 
 
 class DistortionConfig(NamedTuple):
@@ -212,32 +214,60 @@ def chopper_one(wav, key, chop_factors, max_chops, sr=16000,
     return jnp.where(keep, wav, 0.0)
 
 
-def fir_filter_one(wav, key, filt_bank):
+def fir_filter_one(wav, key, filt_bank, filt_lens=None):
     """FIR filtering with group-delay compensation + energy match
-    (BandDrop / Downsample, transforms.py:1113-1304)."""
+    (BandDrop / Downsample, transforms.py:1113-1304).
+
+    filt_lens: per-filter TRUE lengths — the bank is zero-padded to the
+    longest filter, but the reference shifts by round(len(filt)/2) of
+    each filter's own length; using the padded width would misalign
+    shorter filters by (Lmax - Lown)/2 samples."""
     t = wav.shape[0]
     idx = jax.random.randint(key, (), 0, filt_bank.shape[0])
     h = filt_bank[idx]
     ex = _energy(wav)
     y = fft_convolve_full(wav[None], h[None])[0]
-    shift = round(filt_bank.shape[1] / 2)
-    y = y[shift:shift + t] if shift + t <= y.shape[0] else \
-        jnp.pad(y[shift:], (0, shift + t - y.shape[0]))[:t]
+    y = jnp.pad(y, (0, filt_bank.shape[1]))   # room for any shift + t
+    if filt_lens is None:
+        shift = round(filt_bank.shape[1] / 2)
+        y = y[shift:shift + t]
+    else:
+        # python round() half-to-even, matching the reference's
+        # round(len(filt)/2); jnp.round also rounds half to even
+        shift = jnp.round(filt_lens[idx].astype(jnp.float32)
+                          / 2.0).astype(jnp.int32)
+        y = jax.lax.dynamic_slice(y, (shift,), (t,))
     ef = _energy(y)
     eratio = jnp.where(ef > 0, jnp.sqrt(ex / jnp.maximum(ef, 1e-20)), 1.0)
     return jnp.where(ef > 0, eratio * y, wav)
 
 
 def speed_one(wav, key, factor_range):
-    """Speed perturbation via linear-interp resample, center crop / edge
-    pad back to T (transforms.py:2327-2367)."""
+    """Speed perturbation (SpeedChange, transforms.py:2327-2367): the
+    signal is resampled to T*(1+w) samples (w>0 slows playback) and
+    center-cropped back to T. Linear-interp instead of FFT resample
+    (documented deviation: no FFT unit on TPU). For w<0 the reference's
+    own code zero-pads the UNWARPED wav (an upstream bug yielding a
+    length != T signal); here the evident intent is implemented: the
+    sped-up signal centered in zero padding."""
     t = wav.shape[0]
     lo, hi = factor_range
     warp = jax.random.uniform(key, (), minval=lo, maxval=hi)
-    # read positions scaled by (1 + warp): same distribution of time warps
-    scale = (1.0 + warp) * jnp.ones((1,))
-    out = linear_resample(wav[None], scale, t)[0]
-    return out
+    tw = (t + jnp.floor(warp * t)).astype(jnp.float32)   # warped length
+    scale = t / tw                                        # read-pos step
+    # w>0: center-crop offset mid = Tw//2 - T//2 (in warped samples);
+    # w<0: output starts after P = (T-Tw)//2 zeros
+    mid = jnp.floor(tw / 2.0) - t // 2
+    pad = jnp.floor((t - tw) / 2.0)
+    i = jnp.arange(t).astype(jnp.float32)
+    j = jnp.where(warp >= 0, i + mid, i - pad)            # warped index
+    valid = (j >= 0) & (j < tw)
+    src = jnp.clip(j * scale, 0.0, t - 1.0)
+    lo_i = jnp.floor(src).astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, t - 1)
+    frac = src - lo_i
+    out = wav[lo_i] * (1 - frac) + wav[hi_i] * frac
+    return jnp.where(valid, out, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -296,11 +326,13 @@ def apply_distortions(wav_batch, key, cfg: DistortionConfig,
             wav = jnp.where(gate(cfg.chop_p, ks[si]), y, wav)
         si += 1
         if cfg.bandrop_p > 0 and assets.bandrop_bank is not None:
-            y = fir_filter_one(wav, ks[si], assets.bandrop_bank)
+            y = fir_filter_one(wav, ks[si], assets.bandrop_bank,
+                               assets.bandrop_lens)
             wav = jnp.where(gate(cfg.bandrop_p, ks[si]), y, wav)
         si += 1
         if cfg.downsample_p > 0 and assets.downsample_bank is not None:
-            y = fir_filter_one(wav, ks[si], assets.downsample_bank)
+            y = fir_filter_one(wav, ks[si], assets.downsample_bank,
+                               assets.downsample_lens)
             wav = jnp.where(gate(cfg.downsample_p, ks[si]), y, wav)
         return wav, overlap_mask
 
@@ -335,10 +367,12 @@ def load_ir_bank(files, data_root=".", fmt="npy", max_len=24000):
     n = max(len(i) for i in irs)
     bank = np.zeros((len(irs), n), dtype=np.float32)
     pmax = np.zeros((len(irs),), dtype=np.int32)
+    lens = np.zeros((len(irs),), dtype=np.int32)
     for i, ir in enumerate(irs):
         bank[i, :len(ir)] = ir
         pmax[i] = int(np.argmax(np.abs(ir)))
-    return jnp.asarray(bank), jnp.asarray(pmax)
+        lens[i] = len(ir)
+    return jnp.asarray(bank), jnp.asarray(pmax), jnp.asarray(lens)
 
 
 def load_wav_bank(files, target_len: int):

@@ -208,6 +208,11 @@ class ASPPResEncoder(nn.Module):
                              name=f"aspp_blocks_{i}")(h, train=train)
             if self.concat[i]:
                 outs.append(h)
+        if not outs:
+            # all-False concat would silently index an empty list while
+            # output_dim pretends the config works — take the trunk
+            # output (equivalent to concat on the last block only)
+            outs = [h]
         if len(outs) > 1:
             tlen = outs[-1].shape[1]
             pooled = []

@@ -171,30 +171,58 @@ def mfcc(wav, hop=160, order=13, sr=16000, win=400, der_order=2,
     return add_deltas(cc, der_order)
 
 
+@functools.lru_cache(maxsize=8)
+def psf_mel_filterbank(rate: int, n_fft: int, n_filters: int) -> np.ndarray:
+    """python_speech_features.get_filterbanks EXACTLY: HTK mel points,
+    triangles built on floor-quantized FFT bin indices (not continuous
+    frequency ramps)."""
+    def hz2mel(hz):
+        return 2595.0 * np.log10(1.0 + hz / 700.0)
+
+    def mel2hz(mel):
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+
+    melpts = np.linspace(hz2mel(0.0), hz2mel(rate / 2.0), n_filters + 2)
+    bin = np.floor((n_fft + 1) * mel2hz(melpts) / rate)
+    fb = np.zeros((n_filters, n_fft // 2 + 1), np.float32)
+    for j in range(n_filters):
+        for i in range(int(bin[j]), int(bin[j + 1])):
+            fb[j, i] = (i - bin[j]) / (bin[j + 1] - bin[j])
+        for i in range(int(bin[j + 1]), int(bin[j + 2])):
+            fb[j, i] = (bin[j + 2] - i) / (bin[j + 2] - bin[j + 1])
+    return fb
+
+
 def fbanks(wav, n_filters=40, n_fft=512, hop=160, win=400, rate=16000,
-           der_order=2, **_):
-    """python_speech_features.logfbank (transforms.py:489-548): rectangular
-    window, NOT centered (frames start at 0, zero pad at end), power
-    spectrum /n_fft, HTK-mel triangular filterbank (unnormalized), log with
-    eps floor; replicate-padded to T//hop frames."""
+           der_order=2, preemph=0.97, **_):
+    """python_speech_features.logfbank (transforms.py:489-548): signal
+    preemphasis (psf default 0.97), rectangular window, NOT centered
+    (frames start at 0, zero pad at end), power spectrum /n_fft,
+    floor-quantized HTK-mel triangles (psf get_filterbanks), log with
+    eps floor; deltas computed on the psf frame count, THEN
+    replicate-padded to T//hop frames (the reference's order)."""
     t = wav.shape[-1]
     expected = t // hop
+    if preemph:
+        wav = jnp.concatenate([wav[..., :1],
+                               wav[..., 1:] - preemph * wav[..., :-1]],
+                              axis=-1)
     psf_frames = 1 if t <= win else 1 + int(np.ceil((t - win) / hop))
     frames = frame_signal(wav, win, hop, n_frames=psf_frames, pad_end=True)
     mag = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1))
     power = jnp.square(mag) / n_fft
-    fb = jnp.asarray(mel_filterbank(rate, n_fft, n_filters, 0.0, rate / 2.0,
-                                    htk=True, norm=None))
+    fb = jnp.asarray(psf_mel_filterbank(rate, n_fft, n_filters))
     feat = jnp.einsum("mf,btf->btm", fb, power,
                       precision=jax.lax.Precision.HIGHEST)
     feat = jnp.log(jnp.maximum(feat, np.finfo(np.float32).eps))
+    feat = add_deltas(feat, der_order)
     if psf_frames < expected:
         last = feat[:, -1:]
         feat = jnp.concatenate([feat] +
                                [last] * (expected - psf_frames), axis=1)
     else:
         feat = feat[:, :expected]
-    return add_deltas(feat, der_order)
+    return feat
 
 
 # -- gammatone ---------------------------------------------------------------
@@ -261,11 +289,15 @@ def gammatone(wav, f_min=500, n_channels=40, hop=160, win=400, rate=16000,
                                  n_frames=ncols)).reshape(b, c, ncols)
     y = jnp.log(y + 1e-10)
     y = jnp.transpose(y, (0, 2, 1))                # [B, F, C]
+    # deltas on the gtgram frame count, then replicate-pad (the
+    # reference computes librosa deltas BEFORE padding,
+    # transforms.py:586-600)
+    y = add_deltas(y, der_order)
     if ncols < expected:
         y = jnp.concatenate([y] + [y[:, -1:]] * (expected - ncols), axis=1)
     else:
         y = y[:, :expected]
-    return add_deltas(y, der_order)
+    return y
 
 
 # -- prosody -----------------------------------------------------------------
@@ -319,11 +351,15 @@ def _autocorr_f0(wav, sr, hop, n_frames, f0_min, f0_max, frame_len=1024,
     # (acf[l] = (P[0] + 2*sum_k P[k] cos(2 pi k l / nfft) + (-1)^l P[N/2])
     #           / nfft for real-even spectra).
     c, s = _dft_mats_cached(frame_len, nfft)
-    re = fw @ c
-    im = fw @ s
+    # HIGHEST: the voicing decision thresholds the normalized ACF peak —
+    # TPU-default bf16 matmuls flip frames near the threshold vs the
+    # f32 values the tests pin
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(fw, c, precision=hp)
+    im = jnp.matmul(fw, s, precision=hp)
     power = re * re + im * im                       # [B, F, nfft//2+1]
     icos = _iacf_mat(nfft, lag_max)
-    acf = (power @ icos)                            # [B, F, lag_max+1]
+    acf = jnp.matmul(power, icos, precision=hp)     # [B, F, lag_max+1]
     acf0 = jnp.maximum(acf[..., :1], 1e-10)
     nacf = acf / acf0
     lags = np.arange(lag_min, lag_max + 1)
@@ -425,20 +461,8 @@ def lpc(wav, order=25, hop=160, win=320, **_):
     spec = jnp.abs(jnp.fft.rfft(frames, n=nfft)) ** 2
     r = jnp.fft.irfft(spec, n=nfft)[..., :order + 1]     # [B, F, order+1]
     r = r + 1e-9 * r[..., :1] + 1e-12                    # regularize
-    # Levinson-Durbin, static unroll over the order
-    a = jnp.zeros(frames.shape[:-1] + (order + 1,))
-    a = a.at[..., 0].set(1.0)
-    e = r[..., 0]
-    for i in range(1, order + 1):
-        acc = r[..., i]
-        for j in range(1, i):
-            acc = acc + a[..., j] * r[..., i - j]
-        k = -acc / e
-        new_a = a
-        for j in range(1, i):
-            new_a = new_a.at[..., j].add(k * a[..., i - j])
-        a = new_a.at[..., i].set(k)
-        e = e * (1.0 - k * k)
+    from pase_tpu.ops.signal import levinson
+    a, e = levinson(r, order)
     gain = jnp.sqrt(jnp.maximum(e, 1e-20))
     return jnp.concatenate([gain[..., None], a[..., 1:]], axis=-1)
 

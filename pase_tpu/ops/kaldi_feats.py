@@ -92,9 +92,18 @@ def kaldi_plp(wav, hop=160, win=400, sr=16000, num_mel_bins=20,
     spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft)) ** 2
     fb_np = mel_filterbank(sr, n_fft, num_mel_bins, fmin=20.0,
                            fmax=sr / 2.0 - 400.0, htk=True, norm=None)
-    # equal-loudness preemphasis per bin centre
-    mel_pts = np.linspace(0, 1, num_mel_bins)
-    centre_hz = 20.0 + mel_pts * (sr / 2.0 - 420.0)
+    # equal-loudness preemphasis evaluated at the ACTUAL (HTK-mel-spaced)
+    # filterbank centre frequencies — linear spacing attenuated the
+    # lowest bin ~770x
+    def _mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def _hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    mel_edges = np.linspace(_mel(20.0), _mel(sr / 2.0 - 400.0),
+                            num_mel_bins + 2)
+    centre_hz = _hz(mel_edges[1:-1])
     w2 = centre_hz ** 2
     eql = ((w2 / (w2 + 1.6e5)) ** 2 * ((w2 + 1.44e6) / (w2 + 9.61e6)))
     bins = jnp.einsum("mf,btf->btm", jnp.asarray(fb_np), spec,
@@ -111,20 +120,11 @@ def kaldi_plp(wav, hop=160, win=400, sr=16000, num_mel_bins=20,
     idft /= (2.0 * (m - 1))
     r = jnp.einsum("km,btm->btk", jnp.asarray(idft), ext,
                    precision=jax.lax.Precision.HIGHEST)
-    # Levinson-Durbin to LPC, then LPC -> cepstra
+    # Levinson-Durbin to LPC (shared ops.signal.levinson), then cepstra
     order = lpc_order
-    a = jnp.zeros(r.shape[:-1] + (order + 1,)).at[..., 0].set(1.0)
-    e = r[..., 0] + 1e-10
-    for i in range(1, order + 1):
-        acc = r[..., i]
-        for j in range(1, i):
-            acc = acc + a[..., j] * r[..., i - j]
-        kref = -acc / e
-        new_a = a
-        for j in range(1, i):
-            new_a = new_a.at[..., j].add(kref * a[..., i - j])
-        a = new_a.at[..., i].set(kref)
-        e = e * (1.0 - kref * kref)
+    from pase_tpu.ops.signal import levinson
+    r = r.at[..., 0].add(1e-10)
+    a, e = levinson(r, order)
     # cepstral recursion c_n from LPC (c0 = ln(gain^2))
     ceps = [jnp.log(jnp.maximum(e, 1e-10))]
     for nn_ in range(1, num_ceps):

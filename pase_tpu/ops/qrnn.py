@@ -64,7 +64,10 @@ def qrnn_pool(y, c0=None):
 
 
 def shift_right(x, axis=1):
-    """x_{t-1} with zero at t=0 (torchqrnn window-2 'Xm1')."""
+    """x_{t-1} with zero at t=0 (torchqrnn window-2 'Xm1') — zero-filled
+    for ANY axis (jnp.roll would wrap x[T-1] to the front)."""
     pad = [(0, 0)] * x.ndim
     pad[axis] = (1, 0)
-    return jnp.pad(x, pad)[:, :-1] if axis == 1 else jnp.roll(x, 1, axis)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis])
+    return jnp.pad(x, pad)[tuple(sl)]

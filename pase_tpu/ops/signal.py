@@ -105,9 +105,16 @@ def stft_mag(wav, n_fft: int, hop: int, win: int, window=None,
     if use_matmul is None:
         use_matmul = n_fft <= 4096
     if use_matmul:
+        # HIGH (3-pass bf16, ~f32-equivalent for these dynamic ranges):
+        # the TPU DEFAULT single-pass bf16 put ~8-bit mantissa noise into
+        # log-power targets, diverging production values from the f32
+        # ones the tests verify; HIGHEST costs ~2x more for no measured
+        # target difference
         c, s = _dft_mats(win, n_fft)
-        re = frames @ jnp.asarray(c)
-        im = frames @ jnp.asarray(s)
+        re = jnp.matmul(frames, jnp.asarray(c),
+                        precision=jax.lax.Precision.HIGH)
+        im = jnp.matmul(frames, jnp.asarray(s),
+                        precision=jax.lax.Precision.HIGH)
         return jnp.sqrt(re * re + im * im + 1e-30)
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     return jnp.abs(spec)
@@ -161,3 +168,25 @@ def linear_resample(x, scale, out_len: int):
     xlo = jnp.take_along_axis(x, lo, axis=-1)
     xhi = jnp.take_along_axis(x, hi, axis=-1)
     return xlo * (1 - w) + xhi * w
+
+
+def levinson(r, order: int):
+    """Levinson-Durbin recursion, statically unrolled over the order.
+
+    r [..., order+1] autocorrelation (caller regularizes r[0]) ->
+    (a [..., order+1] with a[0]=1, e [...] final prediction error).
+    Shared by ops.features.lpc and ops.kaldi_feats.kaldi_plp.
+    """
+    a = jnp.zeros(r.shape[:-1] + (order + 1,)).at[..., 0].set(1.0)
+    e = r[..., 0]
+    for i in range(1, order + 1):
+        acc = r[..., i]
+        for j in range(1, i):
+            acc = acc + a[..., j] * r[..., i - j]
+        k = -acc / e
+        new_a = a
+        for j in range(1, i):
+            new_a = new_a.at[..., j].add(k * a[..., i - j])
+        a = new_a.at[..., i].set(k)
+        e = e * (1.0 - k * k)
+    return a, e

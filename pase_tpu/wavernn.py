@@ -212,7 +212,6 @@ def generate(module, variables, mels, key, mode="RAW", bits=9):
     """Autoregressive sampling via lax.scan (minions.py:148-242; batched
     fold/xfade generation is in fold_with_overlap/xfade_and_unfold)."""
     # Precompute conditioning once
-    up = module.bind(variables)
     mels_up, aux = UpsampleNetwork(
         module.upsample_scales, res_out_dims=module.res_out_dims,
         pad=module.pad).apply(

@@ -150,3 +150,49 @@ def test_config_from_reference_json():
     assert cfg.chop_p == 0.2
     assert cfg.overlap_snrs == (5, 7.5, 10)
     assert cfg.overlap_reverb is True
+
+
+def test_speed_one_warp_direction():
+    """SpeedChange semantics (transforms.py:2327-2367): w>0 means SLOWED
+    playback — a pure tone's frequency scales by 1/(1+w)."""
+    from pase_tpu.data.distortions import speed_one
+    t = 16000
+    tone = np.sin(2 * np.pi * 400 * np.arange(t) / 16000).astype(np.float32)
+
+    def dominant_zc(x):
+        x = np.asarray(x)
+        core = x[t // 4: 3 * t // 4]          # avoid pad/crop edges
+        return np.sum(np.abs(np.diff(np.sign(core)))) / 2
+
+    base = dominant_zc(tone)
+    slow = jax.device_get(speed_one(jnp.asarray(tone),
+                                    jax.random.PRNGKey(0), (0.14, 0.15)))
+    fast = jax.device_get(speed_one(jnp.asarray(tone),
+                                    jax.random.PRNGKey(0), (-0.15, -0.14)))
+    assert dominant_zc(slow) < base * 0.93      # ~1/1.15 lower pitch
+    assert dominant_zc(fast) > base * 1.07      # ~1/0.85 higher pitch
+    # w<0 output sits centered in zero padding
+    assert np.allclose(np.asarray(fast)[:t // 20], 0)
+
+
+def test_fir_filter_per_filter_group_delay():
+    """fir_filter_one must shift by each filter's OWN length/2, not the
+    zero-padded bank width (reference BandDrop per-filter round(len/2))."""
+    from pase_tpu.data.distortions import fir_filter_one
+    rng = np.random.RandomState(0)
+    t = 4000
+    wav = jnp.asarray(rng.randn(t).astype(np.float32) * 0.3)
+    # a SHORT identity filter (delta at its center) padded into a much
+    # wider bank: correct per-filter compensation returns wav unchanged
+    short_len = 33
+    filt = np.zeros((1, 257), np.float32)
+    filt[0, short_len // 2] = 1.0               # delta at center of len 33
+    lens = jnp.asarray([short_len], jnp.int32)
+    y = jax.device_get(fir_filter_one(wav, jax.random.PRNGKey(1),
+                                      jnp.asarray(filt), lens))
+    np.testing.assert_allclose(y, np.asarray(wav), atol=1e-4)
+    # padded-width compensation (filt_lens=None) would misalign by
+    # (257-33)/2 = 112 samples
+    y_bad = jax.device_get(fir_filter_one(wav, jax.random.PRNGKey(1),
+                                          jnp.asarray(filt)))
+    assert not np.allclose(y_bad, np.asarray(wav), atol=1e-2)

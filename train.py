@@ -121,6 +121,7 @@ def build_distortions(opts, chunk_size):
     host_stage = build_host_stage(dcfg_json, seed=getattr(opts, "seed", 0))
     ir_bank = ir_pmax = noise_bank = overlap_bank = None
     bandrop_bank = downsample_bank = None
+    bandrop_lens = downsample_lens = None
     if cfg.reverb_p > 0:
         root = dcfg_json.get("reverb_data_root", ".")
         fmt = dcfg_json.get("reverb_fmt", "npy")
@@ -128,7 +129,7 @@ def build_distortions(opts, chunk_size):
             os.path.basename(f) for f in glob.glob(
                 os.path.join(root, f"*.{fmt}"))]
         if files:
-            ir_bank, ir_pmax = load_ir_bank(files, root, fmt)
+            ir_bank, ir_pmax, _ = load_ir_bank(files, root, fmt)
     if cfg.noises_p > 0 and dcfg_json.get("noises_dir"):
         dirs = dcfg_json["noises_dir"]
         dirs = dirs if isinstance(dirs, list) else [dirs]
@@ -151,16 +152,18 @@ def build_distortions(opts, chunk_size):
             fmt = dcfg_json.get(f"{key}_fmt", "npy")
             files = dcfg_json.get(f"{key}_irfiles") or []
             if files:
-                bank, _ = load_ir_bank(files, root, fmt)
+                bank, _, lens = load_ir_bank(files, root, fmt)
                 if key == "bandrop":
-                    bandrop_bank = bank
+                    bandrop_bank, bandrop_lens = bank, lens
                 else:
-                    downsample_bank = bank
+                    downsample_bank, downsample_lens = bank, lens
     assets = DistortionAssets(ir_bank=ir_bank, ir_pmax=ir_pmax,
                               noise_bank=noise_bank,
                               overlap_bank=overlap_bank,
                               bandrop_bank=bandrop_bank,
-                              downsample_bank=downsample_bank)
+                              bandrop_lens=bandrop_lens,
+                              downsample_bank=downsample_bank,
+                              downsample_lens=downsample_lens)
     return cfg, assets, host_stage
 
 
