@@ -120,21 +120,27 @@ class Saver:
         os.makedirs(self.save_path, exist_ok=True)
         ckpts = self._read_index()
         model_path = f"{self.prefix}{name}-{step}.npz"
+        # crash-safety ordering: write the NEW weights first, then the
+        # index pointing at them, and only then evict the oldest — a kill
+        # between index write and weights write would otherwise leave
+        # 'current' dangling and the evictee already deleted
+        save_variables(os.path.join(self.save_path, "weights_" + model_path),
+                       variables, step, extra)
         latest = ckpts["latest"]
+        todel = None
         if self.max_ckpts is not None and len(latest) >= self.max_ckpts:
             todel = latest[0]
-            try:
-                os.remove(os.path.join(self.save_path, "weights_" + todel))
-            except FileNotFoundError:
-                pass
             latest = latest[1:]
         latest.append(model_path)
         ckpts["latest"] = latest
         ckpts["current"] = model_path
         with open(self.index_path, "w") as f:
             f.write(json.dumps(ckpts, indent=2))
-        save_variables(os.path.join(self.save_path, "weights_" + model_path),
-                       variables, step, extra)
+        if todel is not None:
+            try:
+                os.remove(os.path.join(self.save_path, "weights_" + todel))
+            except FileNotFoundError:
+                pass
         return model_path
 
     def read_latest_checkpoint(self) -> Optional[str]:
@@ -207,10 +213,14 @@ def _map_torch_key(tkey: str):
 
 
 def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
-                       load_last: bool = True, verbose: bool = False):
+                       load_last: bool = True, verbose: bool = False,
+                       strict: bool = True):
     """Convert a torch state dict into our variable tree, filling entries
     that exist in ``ref_variables`` with matching shapes (the reference's
-    key/shape-intersection loading, modules.py:283-296)."""
+    key/shape-intersection loading, modules.py:283-296). strict raises on
+    any skipped key (matching the reference's refusal of partial loads,
+    modules.py:290-291); strict=False restores silent filtering for
+    deliberately partial transfers."""
     ref = unfreeze(ref_variables)
     flat_ref = flatten_dict(ref)
     keys = list(state_dict.keys())
@@ -278,6 +288,14 @@ def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
     if verbose:
         print(f"[torch_to_variables] loaded {len(loaded)} keys, "
               f"skipped {skipped}")
+    if skipped and strict:
+        # reference load_pretrained_ckpt refuses partial loads
+        # (modules.py:290-291): unmapped/mismatched keys must not leave
+        # parameters silently at random init
+        raise ValueError(
+            f"torch checkpoint load skipped {len(skipped)} keys "
+            f"({skipped[:8]}{'...' if len(skipped) > 8 else ''}); pass "
+            "strict=False to allow a partial load")
     return freeze(unflatten_dict(flat_ref))
 
 

@@ -232,6 +232,15 @@ class Encoder:
 
     # -- inference --------------------------------------------------------
     def __call__(self, x, train: bool = False, mode: Optional[str] = None):
+        if train:
+            # the cached jitted apply is eval-mode only (running BN
+            # stats, no batch-stat mutation); silently ignoring the flag
+            # would return wrong numerics — training goes through the
+            # flax module inside the Trainer's step
+            raise ValueError(
+                "Encoder is the inference wrapper (train=False only); "
+                "use the flax module via Trainer / model.apply for "
+                "train-mode forwards")
         x = jnp.asarray(x)
         squeeze_batch = False
         if x.ndim == 3:       # (B, 1, T) reference layout

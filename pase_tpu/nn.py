@@ -32,7 +32,8 @@ def conv1d(x, kernel, stride=1, dilation=1):
     """1-D convolution, NTC x [K, Cin, Cout] kernel, VALID padding.
 
     Under a bf16 compute policy (pase_tpu.precision) the MXU passes run
-    in bfloat16 with float32 accumulation; output stays float32.
+    in bfloat16 (f32 accumulation inside the MXU) and the OUTPUT is in
+    the compute dtype — the activation chain stays bf16 end to end.
     """
     from pase_tpu.precision import get_compute_dtype
     cd = get_compute_dtype()

@@ -36,22 +36,33 @@ class FeatureExtractor:
         self.pad_to = pad_to  # static-shape buckets to bound recompiles
 
     def extract(self, wav: np.ndarray) -> np.ndarray:
-        """[T] wav -> [frames, D] features (mode applied)."""
+        """[T] wav -> [frames, D] features (mode applied).
+
+        The wav is zero-padded to a static-shape bucket (bounding
+        recompiles), the encoder runs with NO mode, the frame axis is
+        trimmed to the exact-length frame count (ceil(T/160) — SAME-pad
+        stride chain, matching the reference's unpadded full-utterance
+        forward), and only THEN is select_output applied — so the
+        avg_concat/avg_norm statistics never see pad frames. Residual
+        deviation: the last few frames' receptive field sees zero pad
+        instead of the exact forward's reflect pad (use
+        StreamingEncoder for bit-exact online extraction)."""
         t = len(wav)
         bucket = int(np.ceil(t / self.pad_to)) * self.pad_to
         x = np.zeros((1, bucket), dtype=np.float32)
         x[0, :t] = wav
-        frames = t // 160
+        frames = int(np.ceil(t / 160))
+        from pase_tpu.frontend import select_output
         if self.feature_type != "pase":
             from pase_tpu.ops import features as FT
             fn = {"mfcc": FT.mfcc, "fbank": FT.fbanks}[self.feature_type]
-            y = np.asarray(fn(jnp.asarray(x)))[0, :frames]   # [F, D]
-            from pase_tpu.frontend import select_output
+            y = np.asarray(fn(jnp.asarray(x)))[0, :t // 160]  # [F, D]
             y = np.asarray(select_output(
                 jnp.asarray(y.T[None]), self.mode))[0].T
             return y
-        y = self.encoder(x, mode=self.mode)      # (1, D, F)
-        return np.asarray(y)[0, :, :frames].T
+        y = np.asarray(self.encoder(x, mode=None))[:, :, :frames]  # (1,D,F)
+        y = np.asarray(select_output(jnp.asarray(y), self.mode))
+        return y[0].T
 
     def extract_file(self, path: str) -> np.ndarray:
         wav, _ = read_wav(path)

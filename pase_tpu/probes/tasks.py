@@ -60,6 +60,13 @@ def run_utt_classification(fe_cfg, fe_ckpt, train_list, test_list,
     labels = sorted({l for _, l in tr})
     lab2i = {l: i for i, l in enumerate(labels)}
 
+    unseen = sorted({l for _, l in te} - set(labels))
+    if unseen:
+        # a max_utts-truncated train list can miss classes present in
+        # test; fail fast instead of a KeyError after extraction
+        raise ValueError(f"test labels absent from the train list: "
+                         f"{unseen} (raise --max_utts?)")
+
     def load(split):
         feats, ys = [], []
         for path, lab in split:

@@ -154,7 +154,9 @@ def parse_best_wer(dec_dir: str) -> Optional[float]:
             try:
                 with open(os.path.join(root, fn), errors="replace") as f:
                     for line in f:
-                        m = re.search(r"[WS]ER (\S+)", line)
+                        # WER only — the same files carry %SER lines
+                        # (best_wer.sh greps WER)
+                        m = re.search(r"\bWER (\S+)", line)
                         if m:
                             try:
                                 v = float(m.group(1).rstrip("%,"))

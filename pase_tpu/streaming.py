@@ -88,7 +88,15 @@ def _qrnn_layer(w, b, prev, carry, h, impl="scan"):
     full sequence; see forget_mult_pallas)."""
     shifted = jnp.concatenate([prev, h[:, :-1]], axis=1)
     src = jnp.concatenate([h, shifted], axis=-1)
-    y = src @ w + b
+    # mirror nn.QRNN's Dense(dtype=cd): under a bf16 compute policy the
+    # offline linear runs in bf16 — streaming must too, or the outputs
+    # drift beyond float noise
+    from pase_tpu.precision import get_compute_dtype
+    cd = get_compute_dtype()
+    if cd is not None:
+        y = (src.astype(cd) @ w.astype(cd) + b.astype(cd))
+    else:
+        y = src @ w + b
     if impl == "pallas":
         from pase_tpu.ops.pallas_qrnn import qrnn_pool_pallas
         h2, c_t = qrnn_pool_pallas(y.astype(jnp.float32), c0=carry)
@@ -242,8 +250,11 @@ class StreamingEncoder:
             raise TypeError("StreamingEncoder supports the WaveFe trunk "
                             f"(got {type(module).__name__})")
         if module.norm_type == "inorm" or (
-                module.norm_out and module.norm_type not in (None, "bnorm",
-                                                             "lnorm")):
+                module.norm_out and module.norm_type != "bnorm"):
+            # WaveFe's norm_out uses whole-utterance InstanceNorm for
+            # EVERY non-bnorm norm_type (frontend.py norm_out path) —
+            # admitting 'lnorm'/None here crashed on a missing param and
+            # would be wrong even with one (per-frame vs whole-utterance)
             raise NotImplementedError(
                 "InstanceNorm normalizes over the whole utterance and has "
                 "no exact streaming form")

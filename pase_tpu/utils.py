@@ -19,10 +19,14 @@ class AuxiliarSuperviser:
         self.cmd_file = cmd_file
         self.save_path = save_path
         with open(cmd_file) as f:
-            self.cmds = [l.rstrip() for l in f if l.strip()]
+            self.cmds = [l.rstrip() for l in f
+                         if l.strip() and not l.lstrip().startswith("#")]
         self.procs: List[subprocess.Popen] = []
 
     def __call__(self, iteration: int, ckpt_path: str, cfg_path: str):
+        # reap finished children — unreaped Popen handles accumulate
+        # zombies/fds over a multi-hundred-epoch run
+        self.procs = [p for p in self.procs if p.poll() is None]
         for cmd in self.cmds:
             sub = cmd.replace("$model", ckpt_path)
             sub = sub.replace("$cfg", cfg_path)
