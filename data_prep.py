@@ -27,6 +27,19 @@
       --test_list minivox_test_list.txt --out_dir lists/
   python data_prep.py probe-lists --data_root IEMOCAP/ \\
       --class_from dirname --holdout session5 --out_dir lists/
+
+Corpus-specific builders (pase_tpu/data/prep.py; reference
+data/prep/* + downstream_prep/*):
+
+  vad-segment    — energy-VAD long recordings into speech-segment wavs
+                   (prepare_segmented_dataset_swbd.py flow)
+  ami-segment    — AMI ihm/sdm parallel segmenter + utt2spk.npy
+  ami-cfg        — AMI data cfg with per-channel distant-mic entries
+  vctk-cfg       — VCTK speaker-split data cfg from speaker-info.txt
+  rirs-cfg       — OpenSLR-28 RIR bank -> reverb distortion cfg
+  voxceleb-lists — mini-VoxCeleb spk-id probe assets
+  voxforge-lists — VoxForge LID probe assets
+  chime5-cfg     — CHiME-5 worn/array paired data cfg from Kaldi dirs
 """
 
 import argparse
@@ -162,7 +175,8 @@ def probe_lists(opts):
             pats = opts.holdout.split(",")
             te = [w for w in wavs
                   if any(w.split(os.sep)[0] == p for p in pats)]
-            tr = [w for w in wavs if w not in set(te)]
+            te_set = set(te)
+            tr = [w for w in wavs if w not in te_set]
         else:
             # class-stratified random split
             rng = random.Random(opts.seed)
@@ -207,6 +221,101 @@ def probe_lists(opts):
           f"{len(cmap)} classes")
 
 
+def vad_segment(opts):
+    from pase_tpu.data.prep import vad_segment_corpus
+    if opts.file_list:
+        with open(opts.file_list) as f:
+            files = [l.strip() for l in f if l.strip()]
+    else:
+        files = sorted(
+            os.path.relpath(os.path.join(dp, fn), opts.data_root)
+            for dp, _, fns in os.walk(opts.data_root)
+            for fn in fns if fn.lower().endswith(".wav"))
+    n = vad_segment_corpus(opts.data_root, files, opts.out_root,
+                           channel=opts.channel,
+                           vad_list_path=opts.vad_list)
+    print(f"Wrote {n} VAD segments to {opts.out_root}")
+
+
+def ami_segment_cmd(opts):
+    from pase_tpu.data.prep import ami_segment
+    with open(opts.ami_meeting_ids) as f:
+        meetings = [l.strip() for l in f if l.strip()]
+    u2s = ami_segment(opts.data_root, opts.out_root, meetings,
+                      map_ihm2sdm=opts.map_ihm2sdm,
+                      utt2spk_name=opts.utt2spk_dict)
+    print(f"Wrote {len(u2s)} AMI segments to {opts.out_root}")
+
+
+def ami_cfg_cmd(opts):
+    from pase_tpu.data.prep import ami_data_cfg
+    cfg = ami_data_cfg(opts.data_root, opts.train_scp, opts.test_scp,
+                       map_ihm2sdm=opts.map_ihm2sdm,
+                       val_ratio=opts.val_ratio, seed=opts.seed)
+    with open(opts.cfg_file, "w") as f:
+        json.dump(cfg, f)
+    print(f"Wrote {opts.cfg_file}: "
+          + ", ".join(f"{s}={len(cfg[s]['data'])}"
+                      for s in ("train", "valid", "test")))
+
+
+def vctk_cfg_cmd(opts):
+    from pase_tpu.data.prep import vctk_data_cfg
+    cfg = vctk_data_cfg(opts.data_root, train_split=opts.train_split,
+                        valid_split=opts.valid_split, min_len=opts.min_len,
+                        max_utts_spk={"train": opts.max_train_utts_spk,
+                                      "valid": opts.max_valid_utts_spk,
+                                      "test": opts.max_test_utts_spk})
+    with open(opts.cfg_file, "w") as f:
+        json.dump(cfg, f)
+    print(f"Wrote {opts.cfg_file}: "
+          + ", ".join(f"{s}={len(cfg[s]['data'])}"
+                      for s in ("train", "valid", "test")))
+
+
+def rirs_cfg_cmd(opts):
+    from pase_tpu.data.prep import openslr_rirs_cfg
+    out = openslr_rirs_cfg(opts.data_root, opts.out_file,
+                           small_room_ratio=opts.small_room_ratio,
+                           medium_room_ratio=opts.medium_room_ratio,
+                           large_room_ratio=opts.large_room_ratio,
+                           existing_cfg=opts.existing_cfg, seed=opts.seed)
+    print(f"Wrote {opts.out_file} with {len(out['reverb_irfiles'])} IRs")
+
+
+def voxceleb_cmd(opts):
+    from pase_tpu.data.prep import voxceleb_lists
+    tr, te, _ = voxceleb_lists(opts.path_to_data, opts.out_path,
+                               nspk=opts.nspk, out_length=opts.out_length,
+                               sr=opts.out_sr, seed=opts.seed)
+    print(f"Wrote {len(tr)} train / {len(te)} test utts under "
+          f"{opts.out_path}")
+
+
+def voxforge_cmd(opts):
+    from pase_tpu.data.prep import voxforge_lists
+    tr, te, _ = voxforge_lists(opts.path_to_metadata, opts.path_to_data,
+                               opts.out_path, nrecs=opts.nrecs,
+                               out_length=opts.out_length, sr=opts.out_sr,
+                               vad=opts.vad, traintest=True,
+                               seed=opts.seed)
+    print(f"Wrote {len(tr)} train / {len(te)} test utts under "
+          f"{opts.out_path}")
+
+
+def chime5_cmd(opts):
+    from pase_tpu.data.prep import chime5_data_cfg
+    cfg = chime5_data_cfg(opts.ihm_dir, opts.sdm_dir, opts.out_dir,
+                          valid_spk=opts.valid_spk,
+                          test_spk=opts.test_spk,
+                          cut_segments=not opts.no_cut)
+    with open(opts.cfg_file, "w") as f:
+        json.dump(cfg, f)
+    print(f"Wrote {opts.cfg_file}: "
+          + ", ".join(f"{s}={len(cfg[s]['data'])}"
+                      for s in ("train", "valid", "test")))
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -237,13 +346,87 @@ def main():
                          "(e.g. session5 for IEMOCAP leave-session-out)")
     pl.add_argument("--test_ratio", type=float, default=0.2)
     pl.add_argument("--seed", type=int, default=0)
+
+    vs = sub.add_parser("vad-segment")
+    vs.add_argument("--data_root", required=True)
+    vs.add_argument("--out_root", required=True)
+    vs.add_argument("--file_list", default=None,
+                    help="relpaths to segment (default: all wavs)")
+    vs.add_argument("--vad_list", default=None,
+                    help="write the `file beg end segid` VAD list here")
+    vs.add_argument("--channel", type=int, default=0)
+
+    ams = sub.add_parser("ami-segment")
+    ams.add_argument("--data_root", required=True)
+    ams.add_argument("--out_root", required=True)
+    ams.add_argument("--ami_meeting_ids", required=True)
+    ams.add_argument("--map_ihm2sdm", default="1,3,5,7")
+    ams.add_argument("--utt2spk_dict", default="utt2spk.npy")
+
+    amc = sub.add_parser("ami-cfg")
+    amc.add_argument("--data_root", required=True)
+    amc.add_argument("--train_scp", required=True)
+    amc.add_argument("--test_scp", required=True)
+    amc.add_argument("--cfg_file", required=True)
+    amc.add_argument("--map_ihm2sdm", default="1,3,5,7")
+    amc.add_argument("--val_ratio", type=float, default=0.1)
+    amc.add_argument("--seed", type=int, default=3)
+
+    vc = sub.add_parser("vctk-cfg")
+    vc.add_argument("--data_root", required=True)
+    vc.add_argument("--cfg_file", required=True)
+    vc.add_argument("--train_split", type=float, default=0.88)
+    vc.add_argument("--valid_split", type=float, default=0.06)
+    vc.add_argument("--min_len", type=int, default=16000)
+    vc.add_argument("--max_train_utts_spk", type=int, default=0)
+    vc.add_argument("--max_valid_utts_spk", type=int, default=0)
+    vc.add_argument("--max_test_utts_spk", type=int, default=0)
+
+    rc = sub.add_parser("rirs-cfg")
+    rc.add_argument("--data_root", required=True)
+    rc.add_argument("--out_file", required=True)
+    rc.add_argument("--small_room_ratio", type=float, default=1.0)
+    rc.add_argument("--medium_room_ratio", type=float, default=1.0)
+    rc.add_argument("--large_room_ratio", type=float, default=1.0)
+    rc.add_argument("--existing_cfg", default=None)
+    rc.add_argument("--seed", type=int, default=None)
+
+    vxc = sub.add_parser("voxceleb-lists")
+    vxc.add_argument("--path_to_data", required=True)
+    vxc.add_argument("--out_path", required=True)
+    vxc.add_argument("--nspk", type=int, default=100)
+    vxc.add_argument("--out_length", type=int, default=10)
+    vxc.add_argument("--out_sr", type=int, default=16000)
+    vxc.add_argument("--seed", type=int, default=None)
+
+    vxf = sub.add_parser("voxforge-lists")
+    vxf.add_argument("--path_to_data", required=True)
+    vxf.add_argument("--path_to_metadata", required=True)
+    vxf.add_argument("--out_path", required=True)
+    vxf.add_argument("--nrecs", type=int, default=30)
+    vxf.add_argument("--out_length", type=int, default=10)
+    vxf.add_argument("--out_sr", type=int, default=16000)
+    vxf.add_argument("--vad", action="store_true")
+    vxf.add_argument("--seed", type=int, default=None)
+
+    c5 = sub.add_parser("chime5-cfg")
+    c5.add_argument("--ihm_dir", required=True)
+    c5.add_argument("--sdm_dir", required=True)
+    c5.add_argument("--out_dir", required=True)
+    c5.add_argument("--cfg_file", required=True)
+    c5.add_argument("--valid_spk", default="P42")
+    c5.add_argument("--test_spk", default="P41")
+    c5.add_argument("--no_cut", action="store_true",
+                    help="only write the cfg, do not cut segment wavs")
+
     opts = p.parse_args()
-    if opts.cmd == "build-cfg":
-        build_cfg(opts)
-    elif opts.cmd == "segment":
-        segment(opts)
-    else:
-        probe_lists(opts)
+    dispatch = {"build-cfg": build_cfg, "segment": segment,
+                "probe-lists": probe_lists, "vad-segment": vad_segment,
+                "ami-segment": ami_segment_cmd, "ami-cfg": ami_cfg_cmd,
+                "vctk-cfg": vctk_cfg_cmd, "rirs-cfg": rirs_cfg_cmd,
+                "voxceleb-lists": voxceleb_cmd,
+                "voxforge-lists": voxforge_cmd, "chime5-cfg": chime5_cmd}
+    dispatch[opts.cmd](opts)
 
 
 if __name__ == "__main__":

@@ -227,6 +227,7 @@ def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
     if not load_last:
         keys = keys[:-2]
     loaded, skipped = [], []
+    filled = set()
     for tkey in keys:
         mapped = _map_torch_key(tkey)
         if mapped is None:
@@ -284,6 +285,7 @@ def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
             skipped.append(tkey)
             continue
         flat_ref[dest] = jnp.asarray(arr)
+        filled.add(dest)
         loaded.append(tkey)
     if verbose:
         print(f"[torch_to_variables] loaded {len(loaded)} keys, "
@@ -296,6 +298,20 @@ def torch_to_variables(state_dict: Dict[str, np.ndarray], ref_variables,
             f"torch checkpoint load skipped {len(skipped)} keys "
             f"({skipped[:8]}{'...' if len(skipped) > 8 else ''}); pass "
             "strict=False to allow a partial load")
+    if strict and load_last:
+        # the reference also raises in the other direction (loaded-key
+        # count != model-key count, modules.py:290-291): a state dict that
+        # maps cleanly but covers only part of the model must not leave
+        # the remaining params silently at random init (load_last=False is
+        # a deliberately partial transfer, like the reference's)
+        unfilled = [k for k in flat_ref
+                    if k[0] == "params" and k not in filled]
+        if unfilled:
+            raise ValueError(
+                f"torch checkpoint covers only {len(filled)} of the "
+                f"model's param entries; {len(unfilled)} remain at init "
+                f"({unfilled[:8]}{'...' if len(unfilled) > 8 else ''}); "
+                "pass strict=False to allow a partial load")
     return freeze(unflatten_dict(flat_ref))
 
 

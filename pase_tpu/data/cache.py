@@ -13,8 +13,12 @@ chip is shared. Semantics match the reference: cached features are
 computed over the FULL utterance and sliced at `beg // hop`, so chunk-
 boundary framing context differs slightly from the on-the-fly path
 (which frames the isolated chunk) — the same deviation the reference's
-cached path has. ZNorm still happens on device in `make_prepare_fn`,
-which passes through any target key already present in the batch.
+cached path has. For utterances shorter than the chunk, the audio is
+reflect-tail/tile padded (crop_at regime) and the cached feature slice
+applies the SAME regime at frame level, so targets track the padded
+audio up to framing context at the pad seam. ZNorm still happens on
+device in `make_prepare_fn`, which passes through any target key
+already present in the batch.
 
 Not supported with `random_scale` (the cached features were computed at
 the original gain; the reference's cached path has the same blind spot)
@@ -126,13 +130,24 @@ class CachedTargetBatcher(ChunkBatcher):
 
     @staticmethod
     def _slice_frames(f: np.ndarray, f0: int, nf: int) -> np.ndarray:
-        """[T,D] -> [nf,D] starting at f0, edge-replicated when the
-        utterance is shorter than the chunk (crop_chunk pad regime)."""
+        """[T,D] -> [nf,D] starting at f0. Short utterances mirror the
+        audio pad regime (crop_at: reflect tail when pad < len, else
+        tile) at FRAME level, so the cached targets track the padded
+        audio the chunk actually contains — exact up to framing context
+        at the pad seam (same order as the documented chunk-boundary
+        deviation)."""
         piece = f[f0:f0 + nf]
         if len(piece) < nf:
             if len(piece) == 0:
                 piece = np.zeros((1, f.shape[1]), f.dtype)
-            pad = np.repeat(piece[-1:], nf - len(piece), axis=0)
+            p = nf - len(piece)
+            if p < len(piece):
+                # reflect tail: wav[-2:-2-p:-1] at frame granularity
+                pad = piece[-2:-2 - p:-1] if len(piece) >= 2 \
+                    else np.repeat(piece[-1:], p, axis=0)
+            else:
+                reps = int(np.ceil(nf / len(piece)))
+                return np.tile(piece, (reps, 1))[:nf]
             piece = np.concatenate([piece, pad])
         return piece
 

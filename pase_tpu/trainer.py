@@ -404,6 +404,8 @@ class Trainer:
             ctx.__exit__(None, None, None)
             return new_state, losses
 
+        self._train_step_body = train_step   # un-jitted body, reused by
+        # make_multi_train_step (no private jit attributes involved)
         return jax.jit(train_step, donate_argnums=(0,))
 
     def make_multi_train_step(self, n_inner: int):
@@ -412,11 +414,8 @@ class Trainer:
         lets XLA overlap the optimizer tail with the next step's head."""
         single = getattr(self, "_train_step_body", None)
         if single is None:
-            # reuse the traced body by building the un-jitted step
-            jitted = self._make_train_step()
-            # _make_train_step returns a jitted fn; grab its wrapped fn
-            single = jitted.__wrapped__
-            self._train_step_body = single
+            self._make_train_step()          # stores _train_step_body
+            single = self._train_step_body
 
         def multi(state, batches):
             def body(carry, batch):
@@ -431,18 +430,24 @@ class Trainer:
     def _make_eval_step(self):
         model, meta = self.model, self.meta
         prepare = self.prepare
+        from pase_tpu.precision import compute_dtype, resolve
+        cdt = resolve(self.cfg.get("compute_dtype"))
 
         def eval_step(state: TrainState, raw_batch, key):
-            k_prep, k_sample = jax.random.split(key)
-            batch = prepare(raw_batch, k_prep)
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            h, chunk, preds, labels = model.apply(
-                variables, batch, 1.0, train=False,
-                rngs={"sample": k_sample})
-            losses = worker_losses(meta, preds, labels)
-            losses["total"] = sum(losses.values())
+            # eval measures the TRAINING configuration: run under the same
+            # compute-dtype policy as the train step (reference eval_
+            # evaluates the model it trains, WorkerScheduler/trainer.py)
+            with compute_dtype(cdt):
+                k_prep, k_sample = jax.random.split(key)
+                batch = prepare(raw_batch, k_prep)
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                h, chunk, preds, labels = model.apply(
+                    variables, batch, 1.0, train=False,
+                    rngs={"sample": k_sample})
+                losses = worker_losses(meta, preds, labels)
+                losses["total"] = sum(losses.values())
             return losses
 
         return jax.jit(eval_step)
