@@ -322,12 +322,54 @@ class GenhancementDataset(LibriSpeechTupleDataset):
 
 
 class AmiSegTupleWavDataset(GenhancementDataset):
-    """AMI parallel-channel tuples (pase/dataset.py AmiSegTupleWavDataset):
-    the distorted 'chunk' comes from the far-field sdm tree
-    (data_root), the clean 'cchunk' from the headset ihm tree
-    (clean_root) at the same relative path — the Genhancement pairing
-    with AMI channel naming (template_scripts/
-    run_pase_libri_ami_ihm_sdm.sh recipes)."""
+    """AMI parallel-channel tuples (pase/dataset.py:516-650
+    AmiSegTupleWavDataset). Two layouts:
+
+    * tree mode (``ihm2sdm=None``): 'chunk' from the far-field sdm tree
+      (data_root), clean 'cchunk' from the headset ihm tree
+      (clean_root) at the same relative path.
+    * channel-key mode (``ihm2sdm="1,3,5,7"``): cfg entries carry the
+      distant-mic paths under per-channel keys (the ami-cfg builder's
+      output, data/prep/unsupervised_data_cfg_ami.py) — each sample
+      draws a RANDOM distant channel for chunk/rand while cchunk stays
+      the close-talk 'filename' (reference __getitem__:607-637);
+      entries missing any requested channel are dropped
+      (reference:547-555).
+    """
+
+    def __init__(self, data_root, clean_root, data_cfg_file, split,
+                 ihm2sdm: Optional[str] = None, **kwargs):
+        super().__init__(data_root, clean_root or data_root,
+                         data_cfg_file, split, **kwargs)
+        self.ihm2sdm = [c for c in ihm2sdm.split(",") if c] \
+            if ihm2sdm else None
+        if self.ihm2sdm:
+            kept = [w for w in self.wavs
+                    if all(c in w for c in self.ihm2sdm)]
+            n_lost = len(self.wavs) - len(kept)
+            if n_lost:
+                print(f"AmiSegTupleWavDataset: dropped {n_lost} segments "
+                      f"missing sdm channels {self.ihm2sdm}")
+            self.wavs = kept
+            self.neighbor_prefixes = {}
+            for wav in self.wavs:
+                prefix = self.rec.sub("", wav["filename"])
+                self.neighbor_prefixes.setdefault(prefix, []).append(
+                    wav["filename"])
+
+    def sample_tuple(self, index: int, rng=None):
+        if not self.ihm2sdm:
+            return super().sample_tuple(index, rng)
+        rng = self.rng if rng is None else rng
+        entry = self.wavs[index]
+        chan = self.ihm2sdm[rng.randint(len(self.ihm2sdm))]
+        noisy = self._load(entry[chan])
+        clean = self._load_clean(entry["filename"])
+        rindex = rng.randint(len(self.wavs) - 1)
+        if rindex >= index:
+            rindex += 1
+        rwav = self._load(self.wavs[rindex][chan])
+        return noisy, clean, rwav
 
 
 def _load_utt2class(utt2class: str) -> dict:

@@ -103,6 +103,31 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return data, sr
 
 
+def read_wav_channels(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV keeping ALL channels -> ([N, C] or [N] float32, sr).
+    Used by the corpus-prep layer (AMI array recordings, SWBD 2-channel
+    sph-converted wavs); the training hot path stays on the mono
+    ``read_wav``."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(n)
+    if sw == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sw == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                - 128.0) / 128.0
+    else:
+        raise ValueError(f"Unsupported sample width {sw} in {path}")
+    if ch > 1:
+        data = data.reshape(-1, ch).copy()
+    return data, sr
+
+
 def write_wav(path: str, data: np.ndarray, sr: int = 16000):
     data = np.clip(np.asarray(data, dtype=np.float64), -1.0, 1.0)
     pcm = (data * 32767.0).astype("<i2")

@@ -72,6 +72,10 @@ def build_argparser():
                         "clean_root)")
     p.add_argument("--clean_root", type=str, default=None,
                    help="clean tree for GenhancementDataset")
+    p.add_argument("--ihm2sdm", type=str, default=None,
+                   help="AMI distant channels for channel-key cfg "
+                        "entries, e.g. 1,3,5,7 (reference "
+                        "train.py --ihm2sdm)")
     p.add_argument("--cache_feats_dir", type=str, default=None,
                    help="precomputed-target cache dir from "
                         "`util_scripts.py precompute-feats` "
@@ -225,6 +229,10 @@ def train(opts):
         def make_one(i, split, seed):
             name = _nth(opts.dataset, i, "LibriSpeechSegTupleWavDataset")
             cls = _DS_CLS[name]
+            if cls is ds_mod.AmiSegTupleWavDataset:
+                return cls(opts.data_root[i], opts.clean_root,
+                           _nth(opts.data_cfg, i), split, seed=seed,
+                           ihm2sdm=opts.ihm2sdm)
             if issubclass(cls, ds_mod.GenhancementDataset):
                 return cls(opts.data_root[i], opts.clean_root,
                            _nth(opts.data_cfg, i), split, seed=seed)
