@@ -62,14 +62,12 @@ _WORKER = textwrap.dedent("""
 """).replace("@REPO@", REPO)
 
 
-def test_two_process_cpu_smoke(tmp_path):
-    """Two real processes, gloo-coordinated, assemble one global batch
-    and agree on a jitted global reduction."""
+def _run_two_procs(tmp_path, script_text, timeout=420):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+    script.write_text(script_text)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen([sys.executable, str(script), str(pid), port],
@@ -79,12 +77,82 @@ def test_two_process_cpu_smoke(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multihost smoke test timed out")
+            pytest.fail("multihost test timed out")
         outs.append((p.returncode, out))
     for rc, out in outs:
         assert rc == 0, out[-3000:]
         assert "ok" in out
+    return outs
+
+
+def test_two_process_cpu_smoke(tmp_path):
+    """Two real processes, gloo-coordinated, assemble one global batch
+    and agree on a jitted global reduction."""
+    _run_two_procs(tmp_path, _WORKER)
+
+
+_TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    sys.path.insert(0, "@REPO@")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    from pase_tpu.parallel.mesh import (init_distributed, get_mesh,
+                                        shard_batch, host_batch_slice)
+    assert init_distributed("127.0.0.1:" + port, 2, pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from pase_tpu.trainer import Trainer
+    frontend = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+                "fmaps": [16, 16, 32, 32], "emb_dim": 32,
+                "norm_out": True}
+    workers = {"regr": [{"num_outputs": 39, "dropout": 0,
+                         "hidden_size": 32, "hidden_layers": 1,
+                         "name": "mfcc", "r": 1, "loss": "MSELoss",
+                         "skip": False}],
+               "cls": [{"num_outputs": 1, "dropout": 0,
+                        "hidden_size": 32, "hidden_layers": 1,
+                        "name": "mi", "loss": "BCEWithLogitsLoss",
+                        "skip": False}]}
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=10,
+               batch_size=8, chunk_size=4800, log_freq=2,
+               save_path="/tmp/pase_mh_train_%d" % pid)
+    mesh = get_mesh()                   # 4 global devices, dp over all
+    tr = Trainer(frontend, workers, cfg, mesh=mesh)
+    state = tr.init_state(0)            # same seed on both hosts
+    step = tr._make_train_step()
+    rng = np.random.RandomState(5)
+    sl = host_batch_slice(8)
+    for i in range(2):
+        # the same deterministic GLOBAL batch on both hosts; each host
+        # materializes only its slice (the DCN data path)
+        glob = {k: rng.randn(8, 4800).astype(np.float32) * 0.1
+                for k in ("chunk", "chunk_ctxt", "chunk_rand")}
+        raw = shard_batch({k: jnp.asarray(v[sl]) for k, v in glob.items()},
+                          mesh)
+        state, losses = step(state, raw)
+    tot = float(jax.device_get(losses["total"]))
+    assert np.isfinite(tot)
+    print("loss=%.10f" % tot, flush=True)
+    print("proc %d ok" % pid, flush=True)
+""").replace("@REPO@", REPO)
+
+
+def test_two_process_two_train_steps(tmp_path):
+    """Two REAL train steps of the jitted multi-task step across two
+    processes (2 local devices each): both hosts must agree bitwise on
+    the resulting global loss — the full DCN training path, not just
+    shard math."""
+    outs = _run_two_procs(tmp_path, _TRAIN_WORKER)
+    losses = []
+    for _, out in outs:
+        line = [l for l in out.splitlines() if l.startswith("loss=")]
+        assert line, out[-2000:]
+        losses.append(line[0])
+    assert losses[0] == losses[1], losses
