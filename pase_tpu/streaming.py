@@ -23,6 +23,12 @@ Offline, every conv block applies fixed reflect SAME padding ``(l, r)``
 * ``flush()`` appends the reflected tail and drains the FIFO, so the
   total per-layer output length equals the offline ``ceil(T/stride)``.
 
+Residual trunks (``resblocks=True`` — FeResBlock, nn.py:448-527) stream
+too: each block is a nearest-neighbor decimator (complete-group
+semantics reproduce the offline floor), two zero-padded stride-1 conv
+stages run as constant-pad _ConvStreams, and an identity FIFO fused by
+min-available frames before the eval-mode norm2 (_ResBlockStream).
+
 Dense skips are 1x1 projections of intermediate block outputs mean-pool
 downsampled to the final frame rate (frontend.py:213-232) — streamed with
 per-skip pooling FIFOs and a final fuse synchronizer (different blocks
@@ -72,7 +78,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pase_tpu.nn import FeBlock, BatchNorm1d, conv1d
+from pase_tpu.nn import FeBlock, BatchNorm1d, conv1d, split_norm
 from pase_tpu.ops.pad import pad_1d, feblock_pad, sinc_same_pad
 from pase_tpu.ops.qrnn import qrnn_pool
 
@@ -204,6 +210,192 @@ class _PoolStream:
         return y
 
 
+class _DecimStream:
+    """Nearest-neighbor time downsampler by an integer factor
+    (F.interpolate scale=1/ds: out[i] = in[i*ds], length floor(T/ds)).
+    Emits the first frame of each COMPLETE group so the trailing
+    partial group is dropped exactly like the offline floor."""
+
+    def __init__(self, factor: int):
+        self.factor = factor
+        self.buf = None
+
+    def push(self, x):
+        if x is None or x.shape[1] == 0:
+            return None
+        if self.factor == 1:
+            return x
+        self.buf = x if self.buf is None else jnp.concatenate(
+            [self.buf, x], axis=1)
+        n = self.buf.shape[1] // self.factor
+        if n == 0:
+            return None
+        y = self.buf[:, :n * self.factor:self.factor]
+        self.buf = self.buf[:, n * self.factor:]
+        return y
+
+
+def _effective_conv(params, reparam, bstats=None):
+    """(kernel, bias) of a possibly weight-reparameterized conv, in eval
+    form (WNConv1D / SNConv1D formulas — nn.py:211-285)."""
+    if reparam == "wnorm":
+        v = jnp.asarray(params["v"])
+        g = jnp.asarray(params["g"])
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1),
+                                keepdims=True)) + 1e-12
+        kernel = v / norm * g[None, None, :]
+    elif reparam == "snorm":
+        kernel = jnp.asarray(params["kernel"])
+        u = jnp.asarray(bstats["u"])
+        w = kernel.reshape(-1, kernel.shape[-1])
+        v = w @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u_n = w.T @ v
+        u_n = u_n / (jnp.linalg.norm(u_n) + 1e-12)
+        sigma = jnp.dot(v, w @ u_n)
+        kernel = kernel / jnp.maximum(sigma, 1e-12)
+    else:
+        kernel = jnp.asarray(params["kernel"])
+    bias = jnp.asarray(params["bias"]) if "bias" in params else None
+    return kernel, bias
+
+
+def _act_fn(act, params, name):
+    """Eval activation: PReLU from stored weight, or a jax.nn fn."""
+    if act in (None, "prelu"):
+        a = jnp.asarray(params[name]["weight"])
+        return lambda h: jnp.maximum(h, 0) + a * jnp.minimum(h, 0)
+    fn = getattr(jax.nn, act.lower())
+    return fn
+
+
+def _bnorm_eval(params, stats):
+    mean = jnp.asarray(stats["mean"])
+    var = jnp.asarray(stats["var"])
+    w = jnp.asarray(params["weight"])
+    b = jnp.asarray(params["bias"])
+    inv = jax.lax.rsqrt(var + 1e-5)
+    return lambda h: (h - mean) * inv * w + b
+
+
+class _ResBlockStream:
+    """Streaming state for one FeResBlock (nn.py:448-527): nearest
+    decimation, two zero-padded stride-1 convs (conv1+norm1+act1,
+    conv2+act2) streamed as _ConvStreams in 'constant' pad mode, the
+    (projected, decimated) identity buffered in a FIFO and fused by
+    min-available frames, then the eval-mode norm2. Exact because every
+    stage matches the offline op order and the zero pads are applied to
+    the same intermediate tensors."""
+
+    def __init__(self, params, bstats, fmaps: int, kwidth: int,
+                 downsample: int, dilations, act, norm_type,
+                 in_features: int):
+        reparam, post_norm = split_norm(norm_type)
+        if post_norm in ("inorm", "affinorm"):
+            raise NotImplementedError(
+                "InstanceNorm inside resblocks normalizes over the whole "
+                "utterance and has no exact streaming form")
+        d1, d2 = int(dilations[0]), int(dilations[1])
+        p1 = (kwidth // 2) * d1
+        p2 = (kwidth // 2) * d2
+        k1, b1 = _effective_conv(params["conv1"], reparam,
+                                 bstats.get("conv1"))
+        k2, b2 = _effective_conv(params["conv2"], reparam,
+                                 bstats.get("conv2"))
+        act1 = _act_fn(act, params, "act1")
+        act2 = _act_fn(act, params, "act2")
+        norm1 = None
+        if post_norm == "bnorm":
+            norm1 = _bnorm_eval(params["norm1"], bstats["norm1"])
+        elif post_norm == "lnorm":
+            w, b = (jnp.asarray(params["norm1"]["weight"]),
+                    jnp.asarray(params["norm1"]["bias"]))
+
+            def norm1(h, w=w, b=b):
+                mu = jnp.mean(h, axis=-1, keepdims=True)
+                vr = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+                return (h - mu) * jax.lax.rsqrt(vr + 1e-5) * w + b
+
+        def stage1(x):
+            h = conv1d(x, k1, 1, d1)
+            if b1 is not None:
+                h = h + b1
+            if norm1 is not None:
+                h = norm1(h)
+            return act1(h)
+
+        def stage2(h):
+            h = conv1d(h, k2, 1, d2)
+            if b2 is not None:
+                h = h + b2
+            return act2(h)
+
+        self.decim = _DecimStream(downsample)
+        self.conv1 = _ConvStream(jax.jit(stage1), kwidth, 1, d1,
+                                 (p1, p1), "constant")
+        self.conv2 = _ConvStream(jax.jit(stage2), kwidth, 1, d2,
+                                 (p2, p2), "constant")
+        self.resproj = None
+        if in_features != fmaps:
+            self.resproj = _effective_conv(params["resproj"], None)
+        self.norm2 = None
+        if post_norm == "bnorm":
+            self.norm2 = _bnorm_eval(params["norm2"], bstats["norm2"])
+        elif post_norm == "lnorm":
+            w, b = (jnp.asarray(params["norm2"]["weight"]),
+                    jnp.asarray(params["norm2"]["bias"]))
+
+            def norm2(h, w=w, b=b):
+                mu = jnp.mean(h, axis=-1, keepdims=True)
+                vr = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+                return (h - mu) * jax.lax.rsqrt(vr + 1e-5) * w + b
+            self.norm2 = norm2
+        self.id_fifo = None
+        self.h_fifo = None
+
+    def _ingest(self, x, flush: bool):
+        xd = self.decim.push(x)
+        if xd is not None:
+            ident = xd
+            if self.resproj is not None:
+                k, b = self.resproj
+                ident = conv1d(xd, k)
+                if b is not None:
+                    ident = ident + b
+            self.id_fifo = _tcat(self.id_fifo, ident)
+        h1 = self.conv1.push(xd)
+        if flush:
+            h1 = _tcat(h1, self.conv1.flush())
+        h2 = self.conv2.push(h1)
+        if flush:
+            h2 = _tcat(h2, self.conv2.flush())
+        self.h_fifo = _tcat(self.h_fifo, h2)
+
+    def _emit(self):
+        if self.h_fifo is None or self.h_fifo.shape[1] == 0 or \
+                self.id_fifo is None:
+            return None
+        m = min(self.h_fifo.shape[1], self.id_fifo.shape[1])
+        if m == 0:
+            return None
+        y = self.h_fifo[:, :m] + self.id_fifo[:, :m]
+        self.h_fifo = self.h_fifo[:, m:]
+        self.id_fifo = self.id_fifo[:, m:]
+        if self.norm2 is not None:
+            y = self.norm2(y)
+        return y
+
+    def push(self, x):
+        if x is None or x.shape[1] == 0:
+            return None
+        self._ingest(x, flush=False)
+        return self._emit()
+
+    def flush(self):
+        self._ingest(None, flush=True)
+        return self._emit()
+
+
 class _QRNNStream:
     """Window-2 QRNN with cross-chunk (x_{t-1}, c) state (ops/qrnn.py)."""
 
@@ -258,8 +450,6 @@ class StreamingEncoder:
             raise NotImplementedError(
                 "InstanceNorm normalizes over the whole utterance and has "
                 "no exact streaming form")
-        if module.resblocks:
-            raise NotImplementedError("resblocks streaming not implemented")
         self.module = module
         self.variables = encoder.variables
         params = self.variables["params"]
@@ -267,9 +457,21 @@ class StreamingEncoder:
 
         self.conv_streams: List[_ConvStream] = []
         nblocks = len(module.kwidths)
+        in_feats = 1
         for i, (kw, st, dil) in enumerate(zip(module.kwidths, module.strides,
                                               module.dilations)):
             sinc = module.sincnet and i == 0
+            if module.resblocks and not sinc:
+                # residual trunk (frontend.py resblocks path): each block
+                # streams as decimate + two zero-padded stride-1 convs +
+                # identity FIFO (_ResBlockStream)
+                self.conv_streams.append(_ResBlockStream(
+                    params[f"blocks_{i}"], bstats.get(f"blocks_{i}", {}),
+                    module.fmaps[i], kw, st, (1, 2), module.activation,
+                    module.norm_type, in_feats))
+                in_feats = module.fmaps[i]
+                continue
+            in_feats = module.fmaps[i]
             if sinc:
                 k = kw + 1 if kw % 2 == 0 else kw
                 pad = sinc_same_pad(k, st)

@@ -107,3 +107,15 @@ def test_streaming_nondivisible_dfactor_deviation():
     ref2 = np.asarray(enc(wav[:, :t_aligned]))
     got2 = _stream(enc, wav[:, :t_aligned], [t_aligned])
     np.testing.assert_allclose(got2, ref2, rtol=1e-3, atol=2e-4)
+
+
+def test_streaming_resblocks_vq():
+    # residual trunk + VQ8192 + denseskips + QRNN (the shipped
+    # PASE+_resblocks_VQ8192.cfg): _ResBlockStream path
+    _check("cfg/frontend/PASE+_resblocks_VQ8192.cfg",
+           [5000, 160, 12840, 14000])
+
+
+def test_streaming_resblocks_uneven_chunks():
+    _check("cfg/frontend/PASE+_resblocks_VQ8192.cfg",
+           [1000, 777, 13, 20210, 10000])
