@@ -56,6 +56,12 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
                      for k, v in stats.items()}
 
     def prepare(batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        # int16 wire format (Trainer wire_dtype='int16'): waveforms
+        # arrive on the PCM16 grid to halve H2D bytes; dequantize
+        # losslessly on device (x/32768 is the exact read_wav value)
+        batch = {k: (v.astype(jnp.float32) / 32768.0
+                     if getattr(v, "dtype", None) == jnp.int16 else v)
+                 for k, v in batch.items()}
         b, t = batch["chunk"].shape
         k_scale, k_dist = jax.random.split(rng)
         chunk = batch["chunk"]

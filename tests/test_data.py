@@ -447,3 +447,89 @@ def test_prepare_respects_dist_mask_and_parallel_cchunk():
         jnp.asarray(cchunk)))
     np.testing.assert_allclose(np.asarray(out["mfcc"]), ref, atol=1e-5)
     np.testing.assert_allclose(out["cchunk"], cchunk, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident corpus (pase_tpu/data/device_corpus.py)
+# ---------------------------------------------------------------------------
+
+def test_device_corpus_gather_exact(corpus):
+    """Rows gathered from the HBM int16 buffer must EXACTLY equal the
+    host crop of the same window: PCM-sourced wavs live on the k/32768
+    grid, so quantize->dequantize is the identity."""
+    from pase_tpu.data.device_corpus import DeviceCorpusBatcher
+    from pase_tpu.data.dataset import crop_at
+
+    root, cfg = corpus
+    ds = LibriSpeechTupleDataset(root, cfg, "train")
+    wavs_by_name = {w["filename"]: read_wav(os.path.join(root,
+                                                         w["filename"]))[0]
+                    for w in ds.wavs}
+    t = 8000
+    b = DeviceCorpusBatcher(ds, batch_size=4, chunk_size=t, seed=5)
+    batch = next(iter(b))
+    assert set(batch) == {"chunk", "chunk_ctxt", "chunk_rand"}
+    for k in batch:
+        assert batch[k].shape == (4, t)
+    # reproduce the same index stream and compare against host crops
+    b2 = DeviceCorpusBatcher(ds, batch_size=4, chunk_size=t, seed=5)
+    starts = b2._sample_starts()
+    got = np.asarray(batch["chunk"])
+    for j in range(4):
+        abs_beg = int(starts[0, j])
+        # find which utterance owns this absolute offset
+        i = int(np.searchsorted(b2.offsets, abs_beg, side="right") - 1)
+        beg = abs_beg - int(b2.offsets[i])
+        wav = wavs_by_name[ds.wavs[i]["filename"]]
+        want = crop_at(wav, beg, t) if len(wav) >= t else crop_at(
+            wav, 0, t)
+        np.testing.assert_array_equal(
+            got[j], np.clip(want * 32768, -32768, 32767).astype(
+                np.int16).astype(np.float32) / 32768, err_msg=str(j))
+        # PCM grid: the quantization round-trip is the identity
+        np.testing.assert_allclose(got[j], want, atol=1.0 / 32768)
+
+
+def test_device_corpus_sampling_semantics(corpus):
+    """ctxt indices are same-prefix neighbors; rand never equals the
+    anchor; begs stay inside each utterance."""
+    from pase_tpu.data.device_corpus import DeviceCorpusBatcher
+
+    root, cfg = corpus
+    ds = LibriSpeechTupleDataset(root, cfg, "train")
+    b = DeviceCorpusBatcher(ds, batch_size=64, chunk_size=4000, seed=1)
+    s = b._sample_starts()
+
+    def owner(abs_beg):
+        return int(np.searchsorted(b.offsets, abs_beg, side="right") - 1)
+
+    for j in range(64):
+        i, c, r = (owner(int(s[k, j])) for k in range(3))
+        assert r != i
+        assert c in b.neighbors[i]
+        for k, u in zip(range(3), (i, c, r)):
+            off = int(s[k, j]) - int(b.offsets[u])
+            assert 0 <= off <= int(b.lengths[u]) - 4000
+
+
+def test_device_corpus_short_utterance_pad(tmp_path):
+    """Utterances shorter than the chunk are padded ONCE at build with
+    crop_chunk's reflect-tail semantics."""
+    from pase_tpu.data.device_corpus import DeviceCorpusBatcher
+    from pase_tpu.data.dataset import crop_at
+
+    rng = np.random.RandomState(3)
+    sig = rng.randn(3000).astype(np.float32) * 0.2
+    write_wav(str(tmp_path / "9-9-0001.wav"), sig)
+    cfg = {"train": {"data": [{"filename": "9-9-0001.wav"}],
+                     "total_wav_dur": 3000}}
+    cfg_p = str(tmp_path / "cfg.json")
+    with open(cfg_p, "w") as f:
+        json.dump(cfg, f)
+    ds = LibriSpeechTupleDataset(str(tmp_path), cfg_p, "train")
+    t = 8000
+    b = DeviceCorpusBatcher(ds, batch_size=2, chunk_size=t, seed=0)
+    row = np.asarray(next(iter(b))["chunk"][0])
+    wav = read_wav(str(tmp_path / "9-9-0001.wav"))[0]
+    want = crop_at(wav, 0, t)
+    np.testing.assert_allclose(row, want, atol=1.0 / 32768)

@@ -85,3 +85,29 @@ def test_bf16_policy_train_step():
     # params remain f32 (mixed precision keeps master weights)
     for leaf in jax.tree.leaves(jax.device_get(state.params)):
         assert leaf.dtype == np.float32
+
+
+def test_int16_wire_format_lossless():
+    """wire_dtype='int16': PCM-grid waveforms shipped as int16 and
+    dequantized in prepare (pipeline.py) must produce EXACTLY the f32
+    pipeline's outputs — the grid roundtrip v -> v*32768 -> int16 ->
+    /32768 is the identity for PCM-sourced audio."""
+    meta = parse_workers_cfg({
+        "regr": [{"num_outputs": 39, "hidden_size": 32, "hidden_layers": 1,
+                  "name": "mfcc", "r": 1, "loss": "MSELoss"}],
+        "cls": []})
+    prep = make_prepare_fn(meta)
+    rng = np.random.RandomState(0)
+    pcm = rng.randint(-32768, 32768, size=(4, 4800)).astype(np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+    batch_f = {k: jnp.asarray(f32) for k in
+               ("chunk", "chunk_ctxt", "chunk_rand")}
+    batch_i = {k: jnp.asarray(pcm) for k in
+               ("chunk", "chunk_ctxt", "chunk_rand")}
+    key = jax.random.PRNGKey(3)
+    out_f = prep(batch_f, key)
+    out_i = prep(batch_i, key)
+    assert set(out_f) == set(out_i)
+    for k in out_f:
+        np.testing.assert_array_equal(np.asarray(out_f[k]),
+                                      np.asarray(out_i[k]), err_msg=k)

@@ -84,6 +84,17 @@ def build_argparser():
                    help="use the native C++ decode/crop loader")
     p.add_argument("--compute_dtype", type=str, default=None,
                    help="bfloat16 for mixed-precision MXU passes")
+    p.add_argument("--device_corpus", action="store_true", default=False,
+                   help="keep the WHOLE corpus in HBM as int16 and "
+                        "gather crops on device (host ships only "
+                        "indices; kills the H2D bottleneck; "
+                        "single-tree corpora up to ~37 h/process)")
+    p.add_argument("--wire_dtype", type=str, default="float32",
+                   choices=["float32", "int16"],
+                   help="int16 ships waveform batches on the PCM16 grid "
+                        "(lossless for PCM-sourced corpora; halves "
+                        "host->device transfer). Avoid with "
+                        "--zero_speech_p (sub-quantum synthetic silence)")
     p.add_argument("--gan_cfg", type=str, default=None,
                    help="JSON: {worker, loss, lr, weight} GAN worker; "
                         "type='z' also takes warmup/zinit_weight/zinc "
@@ -274,10 +285,27 @@ def train(opts):
                 worker_names=cached_names, hop=opts.hop)
             print(f"Cached targets: {cached_names} "
                   f"from {opts.cache_feats_dir}")
-        batcher = batcher_cls(ds, local_bs, opts.chunk_size,
-                              seed=seed0)
+        if opts.device_corpus:
+            # corpus lives in HBM; host ships only crop indices
+            # (device_corpus.py — the H2D bottleneck fix). Eval stays on
+            # the host path (once an epoch).
+            if n_ds != 1 or opts.cache_feats_dir or opts.clean_root \
+                    or _nth(opts.dataset, 0,
+                            "LibriSpeechSegTupleWavDataset") \
+                    != "LibriSpeechSegTupleWavDataset":
+                raise ValueError(
+                    "--device_corpus supports a single "
+                    "LibriSpeechSegTupleWavDataset corpus (no parallel "
+                    "trees / MetaConcat / --cache_feats_dir)")
+            from pase_tpu.data.device_corpus import DeviceCorpusBatcher
+            batcher = DeviceCorpusBatcher(ds, local_bs, opts.chunk_size,
+                                          seed=seed0)
+            print(f"Device corpus: {batcher.buf_gb:.2f} GB int16 in HBM")
+        else:
+            batcher = batcher_cls(ds, local_bs, opts.chunk_size,
+                                  seed=seed0)
         bpe = batcher.bpe
-        if opts.num_workers > 1:
+        if not opts.device_corpus and opts.num_workers > 1:
             # replicate the reference's DataLoader num_workers: N
             # independent producers (per-thread RNG) into one queue
             from pase_tpu.data.dataset import ThreadedPrefetcher
@@ -295,12 +323,19 @@ def train(opts):
         os.path.exists(opts.stats) else None
     dist_cfg, dist_assets, host_stage = build_distortions(opts,
                                                           opts.chunk_size)
+    if host_stage is not None and opts.device_corpus:
+        raise ValueError("--device_corpus is incompatible with host-stage "
+                         "distortions (codec2/whisperize need host "
+                         "waveforms); drop them from --dtrans_cfg")
     if host_stage is not None:
         from pase_tpu.data.host_distortions import StagedBatcher
         print("Host distortion stage enabled "
               f"(probs={host_stage.probs})")
         batcher = StagedBatcher(batcher, host_stage)
 
+    if opts.wire_dtype == "int16" and opts.zero_speech_p > 0:
+        print("WARNING: --wire_dtype int16 quantizes zero-speech samples "
+              "(~1e-5 amplitude) to silence; prefer float32 here")
     cfg = vars(opts).copy()
     cfg.update(bpe=bpe, va_bpe=max(bpe // 10, 1),
                random_scale=str2bool(opts.random_scale),
