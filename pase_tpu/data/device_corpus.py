@@ -25,9 +25,12 @@ Semantics preserved from the host path (data/dataset.py):
     divides the original int16 sample by 32768; v*32768 restores it).
 
 Documented deviations:
-  * the RandomState consumption ORDER differs from ChunkBatcher (indices
-    are vector-sampled), so a given seed yields a different (equally
-    distributed) crop sequence;
+  * index sampling runs ON DEVICE (jax.random) so the steady-state feed
+    performs ZERO host->device transfers — the 384 B/step index upload
+    still paid one tunnel round trip (~10 ms) per batch; the RNG stream
+    therefore differs from ChunkBatcher's RandomState (equally
+    distributed: uniform utterance draw, uniform same-prefix neighbor,
+    uniform other-utterance, uniform in-range crop start);
   * zero-speech injection draws from a pre-built bank of
     near-silent utterances instead of fresh noise per draw — and 1e-5
     amplitude noise quantizes to exact silence on the int16 grid (the
@@ -40,7 +43,8 @@ distortions (codec2/whisperize need host arrays), --cache_feats_dir.
 Scale limit: int32 gather indices cap one buffer at 2^31 samples
 (~37 h at 16 kHz) per process; larger corpora belong on >= 2 hosts
 with per-host data_cfg slices (a 50 h corpus across 2 hosts is 25 h
-per buffer).  The build raises past the cap.
+per buffer).  The build raises past the cap.  The padded neighbor
+table is O(n_utts * max_siblings) int32 on device.
 """
 
 import numpy as np
@@ -67,7 +71,6 @@ class DeviceCorpusBatcher:
 
         self.batch_size = batch_size
         self.chunk_size = chunk_size
-        self.rng = np.random.RandomState(seed + 77)
         self.bpe = max(
             (dataset.total_wav_dur // chunk_size) // batch_size, 1)
         self.zero_speech_p = getattr(dataset, "zero_speech_p", 0.0)
@@ -125,9 +128,56 @@ class DeviceCorpusBatcher:
         self.buf_gb = buf.nbytes / 1e9
         del buf
 
-        t = chunk_size
+        # ---- device-side index tables ------------------------------------
+        # padded neighbor matrix: nb_tab[i, j < nb_cnt[i]] are i's
+        # same-prefix siblings (zero-speech rows self-neighbor)
+        n_tot = len(offsets)
+        max_nb = max(len(nb) for nb in self.neighbors) if n else 1
+        nb_pad = np.zeros((n_tot, max_nb), dtype=np.int32)
+        nb_cnt = np.ones(n_tot, dtype=np.int32)
+        for i, nb in enumerate(self.neighbors):
+            nb_pad[i, :len(nb)] = nb
+            nb_cnt[i] = len(nb)
+        for i in range(n, n_tot):
+            nb_pad[i, 0] = i
+        self._d_offsets = jnp.asarray(offsets.astype(np.int32))
+        self._d_lengths = jnp.asarray(lengths.astype(np.int32))
+        self._d_nb = jnp.asarray(nb_pad)
+        self._d_cnt = jnp.asarray(nb_cnt)
+        if self.zero_speech_p > 0:
+            self._d_zs = jnp.asarray(self._zs_ids.astype(np.int32))
+        self._key = jax.random.PRNGKey(seed + 77)
 
-        def gather(buf, starts):
+        t, b = chunk_size, batch_size
+        n_utts, zs_p = self.n_utts, float(self.zero_speech_p)
+
+        def sample_starts(key, offs, lens, nb, cnt, zs):
+            """[3, B] absolute crop starts, entirely on device: anchor ~
+            U(utts) (zero-speech bank w.p. zs_p), ctxt ~ U(same-prefix
+            neighbors), rand ~ U(other utts), start ~ U(valid range)."""
+            ks = jax.random.split(key, 6)
+            idx = jax.random.randint(ks[0], (b,), 0, n_utts)
+            if zs_p > 0:
+                pick = jax.random.uniform(ks[1], (b,)) < zs_p
+                idx = jnp.where(
+                    pick, zs[jax.random.randint(ks[5], (b,), 0, len(zs))],
+                    idx)
+            j = jax.random.randint(ks[2], (b,), 0, 1 << 30) % cnt[idx]
+            ctxt = nb[idx, j]
+            if n_utts > 1:
+                r = jax.random.randint(ks[3], (b,), 0, n_utts - 1)
+                rand = jnp.where(r >= idx, r + 1, r)
+            else:
+                rand = jnp.zeros((b,), jnp.int32)
+            ids = jnp.stack([idx, ctxt, rand])          # [3, B]
+            span = jnp.maximum(lens[ids] - t, 0)
+            r = jax.random.randint(ks[4], (3, b), 0, 1 << 30)
+            return offs[ids] + jnp.where(span > 0, r % (span + 1), 0)
+
+        def next_batch(buf, key, offs, lens, nb, cnt, zs):
+            key, sub = jax.random.split(key)
+            starts = sample_starts(sub, offs, lens, nb, cnt,
+                                   zs).reshape(-1)
             # [B, T] rows from flat PCM at per-row offsets. MUST be a
             # vmapped dynamic_slice, not fancy indexing: buf[starts[:,
             # None] + arange(T)] lowers to a generic per-element gather
@@ -136,45 +186,30 @@ class DeviceCorpusBatcher:
             # floor) — HBM-bandwidth bound as intended
             rows = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(buf, (s,), (t,)))(starts)
-            return rows.astype(jnp.float32) / 32768.0
+            return rows.astype(jnp.float32) / 32768.0, starts, key
 
-        self._gather = jax.jit(gather)
+        self._next = jax.jit(next_batch)
+        self._sample = jax.jit(sample_starts)
 
-    # ---- host-side index sampling ---------------------------------------
+    # ---- index sampling (device; host wrapper for tests) ----------------
     def _sample_starts(self):
-        b, t = self.batch_size, self.chunk_size
-        rng = self.rng
-        idx = rng.randint(0, self.n_utts, size=b)
-        if self.zero_speech_p > 0:
-            zs = rng.rand(b) < self.zero_speech_p
-            idx = np.where(
-                zs, self._zs_ids[rng.randint(0, len(self._zs_ids),
-                                             size=b)], idx)
-        ctxt = np.empty(b, dtype=np.int64)
-        for j, i in enumerate(idx):
-            nb = self.neighbors[i] if i < self.n_utts else \
-                np.asarray([i])
-            ctxt[j] = nb[rng.randint(0, len(nb))]
-        if self.n_utts > 1:
-            rand = rng.randint(0, self.n_utts - 1, size=b)
-            rand = np.where(rand >= idx, rand + 1, rand)
-        else:
-            rand = np.zeros(b, dtype=np.int64)
-
-        def beg(ids):
-            span = np.maximum(self.lengths[ids] - t, 0)
-            r = rng.randint(0, 1 << 30, size=len(ids))
-            return self.offsets[ids] + np.where(span > 0, r % (span + 1),
-                                                0)
-
-        return np.stack([beg(idx), beg(ctxt), beg(rand)]).astype(np.int32)
+        """[3, B] absolute starts for the NEXT batch (advances the key);
+        numpy copy for inspection/tests."""
+        import jax
+        self._key, sub = jax.random.split(self._key)
+        zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
+        return np.asarray(jax.device_get(self._sample(
+            sub, self._d_offsets, self._d_lengths, self._d_nb,
+            self._d_cnt, zs)))
 
     def __iter__(self):
-        import jax.numpy as jnp
         b = self.batch_size
+        zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
         while True:
-            s = self._sample_starts()           # [3, B] int32 — the wire
-            rows = self._gather(self.buf, jnp.asarray(s.reshape(-1)))
+            rows, starts, self._key = self._next(
+                self.buf, self._key, self._d_offsets, self._d_lengths,
+                self._d_nb, self._d_cnt, zs)
+            self.last_starts = starts            # device [3*B], for tests
             yield {"chunk": rows[:b],
                    "chunk_ctxt": rows[b:2 * b],
                    "chunk_rand": rows[2 * b:]}

@@ -84,6 +84,10 @@ def build_argparser():
                    help="use the native C++ decode/crop loader")
     p.add_argument("--compute_dtype", type=str, default=None,
                    help="bfloat16 for mixed-precision MXU passes")
+    p.add_argument("--jax_cache_dir", type=str,
+                   default=os.path.join(os.path.dirname(
+                       os.path.abspath(__file__)), ".jax_cache"),
+                   help="persistent XLA compile cache ('' disables)")
     p.add_argument("--device_corpus", action="store_true", default=False,
                    help="keep the WHOLE corpus in HBM as int16 and "
                         "gather crops on device (host ships only "
@@ -183,6 +187,14 @@ def build_distortions(opts, chunk_size):
 
 
 def train(opts):
+    # persistent compile cache: the full train-step graph is minutes of
+    # (remote) XLA compile; cache it so restarts/resumes pay seconds
+    if opts.jax_cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(opts.jax_cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
     # multi-host runtime must come up before any backend use; with it,
     # jax.devices() is the global pod and each process feeds only its
     # own host_batch_slice of the (global) --batch_size
