@@ -630,6 +630,7 @@ class DeviceSyntheticBatcher:
                     "chunk_rand": speechlike(k3, f0r, tiltr)}
 
         self._make = jax.jit(make)
+        self._make_body = make               # un-jitted: fused-feed path
 
     def __iter__(self):
         import jax
@@ -637,3 +638,12 @@ class DeviceSyntheticBatcher:
         while True:
             key, sub = jax.random.split(key)
             yield self._make(sub)
+
+    # ---- fused in-graph feed (Trainer.make_fused_feed_step) --------------
+    def feed_state(self):
+        return {"key": self._key}
+
+    def feed_fn(self, fs):
+        import jax
+        key, sub = jax.random.split(fs["key"])
+        return self._make_body(sub), {"key": key}

@@ -189,6 +189,7 @@ class DeviceCorpusBatcher:
             return rows.astype(jnp.float32) / 32768.0, starts, key
 
         self._next = jax.jit(next_batch)
+        self._next_body = next_batch         # un-jitted: fused-feed path
         self._sample = jax.jit(sample_starts)
 
     # ---- index sampling (device; host wrapper for tests) ----------------
@@ -213,3 +214,24 @@ class DeviceCorpusBatcher:
             yield {"chunk": rows[:b],
                    "chunk_ctxt": rows[b:2 * b],
                    "chunk_rand": rows[2 * b:]}
+
+    # ---- fused in-graph feed (Trainer.make_fused_feed_step) --------------
+    def feed_state(self):
+        """Pytree of device arrays the fused train step threads through
+        (the corpus buffer rides along as a jit argument — never a
+        captured constant — so it is not baked into the executable)."""
+        zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
+        return {"buf": self.buf, "key": self._key,
+                "offs": self._d_offsets, "lens": self._d_lengths,
+                "nb": self._d_nb, "cnt": self._d_cnt, "zs": zs}
+
+    def feed_fn(self, fs):
+        """Traceable: feed_state -> (raw batch, new feed_state).  Same
+        sampling body and key threading as __iter__, so fused and
+        dispatch-per-batch execution yield identical batch sequences."""
+        rows, _, key = self._next_body(fs["buf"], fs["key"], fs["offs"],
+                                       fs["lens"], fs["nb"], fs["cnt"],
+                                       fs["zs"])
+        b = self.batch_size
+        return ({"chunk": rows[:b], "chunk_ctxt": rows[b:2 * b],
+                 "chunk_rand": rows[2 * b:]}, dict(fs, key=key))

@@ -31,7 +31,8 @@ from pase_tpu.optim import build_optimizer
 from pase_tpu.scheduling import PolicyState, init_policy_state, apply_policy
 from pase_tpu.data.pipeline import make_prepare_fn
 from pase_tpu.checkpoint import Saver, save_variables
-from pase_tpu.parallel.mesh import (get_mesh, shard_batch, replicate)
+from pase_tpu.parallel.mesh import (get_mesh, shard_batch, replicate,
+                                    batch_sharding)
 from pase_tpu.log import MetricLogger
 
 
@@ -408,6 +409,29 @@ class Trainer:
         # make_multi_train_step (no private jit attributes involved)
         return jax.jit(train_step, donate_argnums=(0,))
 
+    def make_fused_feed_step(self, feed_fn):
+        """ONE dispatch per step: in-graph batch materialization
+        (feed_fn: feed_state -> (raw batch, feed_state'), e.g. the
+        device-corpus gather or on-device synthetic generation) fused
+        with the train step.  Removes the per-step feed-dispatch +
+        device_put latency of the staged path (~6 ms/step over the axon
+        tunnel); the feed state (corpus buffer, PRNG key, index tables)
+        is threaded as a jit ARGUMENT, so the buffer is never baked
+        into the executable and is not copied between steps."""
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        body = self._train_step_body
+        bsh = batch_sharding(self.mesh)
+
+        def fused(state, feed):
+            raw, feed = feed_fn(feed)
+            raw = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, bsh), raw)
+            state, losses = body(state, raw)
+            return state, losses, feed
+
+        return jax.jit(fused, donate_argnums=(0,))
+
     def make_multi_train_step(self, n_inner: int):
         """K train steps fused into one executable via lax.scan over
         stacked batches [K, B, T] — amortizes per-dispatch latency and
@@ -494,14 +518,28 @@ class Trainer:
             return shard_batch({k: jnp.asarray(v) for k, v in raw.items()},
                                self.mesh)
 
-        staged = stage(next(it))
+        # fused in-graph feed: device-side batchers expose feed_fn /
+        # feed_state (device corpus, on-device synthetic) — one dispatch
+        # per step instead of feed + device_put + step.  Multi-process
+        # runs keep the staged path (per-host batch assembly).
+        feed_fn = getattr(batcher, "feed_fn", None)
+        fused = feed = None
+        if feed_fn is not None and jax.process_count() == 1 \
+                and not self.cfg.get("no_fused_feed"):
+            fused = self.make_fused_feed_step(feed_fn)
+            feed = batcher.feed_state()
+        else:
+            staged = stage(next(it))
         for e in range(epoch_beg, epochs):
             t0 = time.time()
             last_losses = None
             for bidx in range(1, bpe + 1):
-                raw = staged
-                staged = stage(next(it))
-                state, losses = self._train_step(state, raw)
+                if fused is not None:
+                    state, losses, feed = fused(state, feed)
+                else:
+                    raw = staged
+                    staged = stage(next(it))
+                    state, losses = self._train_step(state, raw)
                 if bidx % self.log_freq == 0 or bidx >= bpe:
                     last_losses = {
                         k: (v if getattr(v, "ndim", 0) > 0 else float(v))

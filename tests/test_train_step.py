@@ -448,3 +448,77 @@ def test_vq_variant_sharded_equals_single():
     emb8 = np.asarray(
         s8.batch_stats["frontend"]["quantizer"]["emb"])
     np.testing.assert_allclose(emb1, emb8, atol=1e-6, rtol=1e-5)
+
+
+def test_fused_feed_step_equals_staged():
+    """Trainer.make_fused_feed_step (in-graph batch materialization,
+    one dispatch/step) must produce the same loss trajectory as the
+    staged dispatch-per-batch path for the same batcher seed — the
+    fused path only removes host/dispatch latency, never data."""
+    from pase_tpu.data.dataset import DeviceSyntheticBatcher
+    from pase_tpu.parallel.mesh import shard_batch
+
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=10,
+               batch_size=8, chunk_size=4800, log_freq=1000,
+               save_path="/tmp/pase_fused_eq")
+    tr = Trainer(SMALL_FRONTEND, SMALL_WORKERS, cfg, mesh=get_mesh())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+
+    b1 = iter(DeviceSyntheticBatcher(8, 4800, seed=7))
+    staged_losses = []
+    for _ in range(2):
+        raw = shard_batch(dict(next(b1)), tr.mesh)
+        state, losses = step(state, raw)
+        staged_losses.append(jax.device_get(losses))
+
+    b2 = DeviceSyntheticBatcher(8, 4800, seed=7)
+    fused = tr.make_fused_feed_step(b2.feed_fn)
+    state2 = tr.init_state(0)
+    feed = b2.feed_state()
+    for i in range(2):
+        state2, losses2, feed = fused(state2, feed)
+        l2 = jax.device_get(losses2)
+        for k in staged_losses[i]:
+            np.testing.assert_allclose(
+                float(staged_losses[i][k]), float(l2[k]),
+                rtol=1e-5, atol=1e-7, err_msg=f"step {i} {k}")
+
+
+def test_fused_feed_device_corpus_finite(tmp_path):
+    """Fused feed over a real DeviceCorpusBatcher: two steps, finite
+    losses, feed key advances."""
+    import os
+    from pase_tpu.data.device_corpus import DeviceCorpusBatcher
+    from pase_tpu.data.dataset import LibriSpeechTupleDataset
+    from pase_tpu.data.io import write_wav
+
+    rng = np.random.RandomState(0)
+    names = []
+    for spk in (1, 2):
+        for utt in range(3):
+            nm = f"{spk}-{spk}-{utt:04d}.wav"
+            write_wav(str(tmp_path / nm),
+                      rng.randn(9000).astype(np.float32) * 0.2)
+            names.append(nm)
+    dcfg = {"train": {"data": [{"filename": n} for n in names],
+                      "total_wav_dur": 9000 * len(names)}}
+    cfg_p = str(tmp_path / "cfg.json")
+    with open(cfg_p, "w") as f:
+        json.dump(dcfg, f)
+    ds = LibriSpeechTupleDataset(str(tmp_path), cfg_p, "train")
+    b = DeviceCorpusBatcher(ds, batch_size=8, chunk_size=4800, seed=3)
+
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=10,
+               batch_size=8, chunk_size=4800, log_freq=1000,
+               save_path="/tmp/pase_fused_dc")
+    tr = Trainer(SMALL_FRONTEND, SMALL_WORKERS, cfg, mesh=get_mesh())
+    state = tr.init_state(0)
+    fused = tr.make_fused_feed_step(b.feed_fn)
+    feed = b.feed_state()
+    k0 = np.asarray(jax.device_get(feed["key"]))
+    for _ in range(2):
+        state, losses, feed = fused(state, feed)
+        l = jax.device_get(losses)
+        assert all(np.isfinite(float(v)) for v in l.values()), l
+    assert not np.array_equal(k0, np.asarray(jax.device_get(feed["key"])))

@@ -84,6 +84,9 @@ def build_argparser():
                    help="use the native C++ decode/crop loader")
     p.add_argument("--compute_dtype", type=str, default=None,
                    help="bfloat16 for mixed-precision MXU passes")
+    p.add_argument("--no_fused_feed", action="store_true", default=False,
+                   help="keep the dispatch-per-batch staged feed even "
+                        "for device-side batchers (debugging)")
     p.add_argument("--jax_cache_dir", type=str,
                    default=os.path.join(os.path.dirname(
                        os.path.abspath(__file__)), ".jax_cache"),
@@ -326,8 +329,15 @@ def train(opts):
                     ds, local_bs, opts.chunk_size,
                     seed=seed0 + 13 * tid)._make_batch, None),
                 n_threads=opts.num_workers, bpe=bpe)
-        va_batcher = batcher_cls(va_ds, local_bs, opts.chunk_size,
-                                 seed=seed0 + 1)
+        if opts.device_corpus:
+            # eval from HBM too (the valid split is small; avoids the
+            # host wire for the once-per-epoch eval pass)
+            va_batcher = DeviceCorpusBatcher(va_ds, local_bs,
+                                             opts.chunk_size,
+                                             seed=seed0 + 1)
+        else:
+            va_batcher = batcher_cls(va_ds, local_bs, opts.chunk_size,
+                                     seed=seed0 + 1)
         print(f"Dataset: {ds.total_wav_dur/16000/3600.0:.1f} h train audio, "
               f"bpe={bpe}")
 
