@@ -189,7 +189,14 @@ class Trainer:
             alpha=jnp.ones((self.num_workers,)), rng=rng,
             step=jnp.zeros((), jnp.int32),
             d_params=d_params, d_batch_stats=d_bs, d_opt_state=d_opt)
-        return replicate(state, self.mesh)
+        state = replicate(state, self.mesh)
+        if dict(self.mesh.shape).get("model", 1) > 1:
+            # 2-D data x model mesh: re-lay params/opt-state with the
+            # column-parallel rule (parallel/mesh.state_shardings);
+            # replicated leaves stay replicated
+            from pase_tpu.parallel.mesh import shard_state
+            state = shard_state(state, self.mesh)
+        return state
 
     # -- steps ----------------------------------------------------------------
 

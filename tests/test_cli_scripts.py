@@ -550,3 +550,45 @@ def test_train_cli_device_corpus(corpus, tmp_path):
         rows = [json.loads(l) for l in f if l.strip()]
     tr_rows = [r for r in rows if r.get("split") == "train"]
     assert tr_rows and all(np.isfinite(r["total"]) for r in tr_rows)
+
+
+def test_train_cli_n_model_2(tmp_path):
+    """--n_model 2 on the 8-device CPU mesh: 4x2 data x model mesh,
+    column-parallel params (Trainer.init_state auto-applies
+    shard_state), fused synthetic feed — one tiny epoch end to end."""
+    sys.path.insert(0, REPO)
+    import train as train_cli
+    wk = {"regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 128,
+                    "hidden_layers": 1, "name": "mfcc", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": [{"num_outputs": 1, "dropout": 0, "hidden_size": 128,
+                   "hidden_layers": 1, "name": "mi",
+                   "loss": "BCEWithLogitsLoss", "skip": False}]}
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [64, 64, 128, 128], "emb_dim": 128, "norm_out": True}
+    wk_path, fe_path = str(tmp_path / "wk.cfg"), str(tmp_path / "fe.cfg")
+    with open(wk_path, "w") as f:
+        json.dump(wk, f)
+    with open(fe_path, "w") as f:
+        json.dump(fe, f)
+    argv = ["--net_cfg", wk_path, "--fe_cfg", fe_path, "--synthetic",
+            "--n_model", "2", "--batch_size", "8", "--chunk_size", "4800",
+            "--epoch", "1", "--log_freq", "2",
+            "--save_path", str(tmp_path / "ckpt")]
+    opts = train_cli.build_argparser().parse_args(argv)
+    from pase_tpu.trainer import Trainer
+    orig_train = Trainer.train_
+
+    def short_train(self, *a, **k):
+        self.bpe = 3
+        return orig_train(self, *a, **k)
+    Trainer.train_ = short_train
+    try:
+        train_cli.train(opts)
+    finally:
+        Trainer.train_ = orig_train
+    assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")
+    with open(tmp_path / "ckpt" / "metrics.jsonl") as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    assert any(r.get("split") == "train" and np.isfinite(r["total"])
+               for r in rows)

@@ -26,7 +26,7 @@ def test_dryrun_multichip_subprocess():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=580)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1100)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "ok" in proc.stdout, proc.stdout
 

@@ -73,15 +73,20 @@ def test_wavefe_resblocks_cfg(ref):
     np.testing.assert_allclose(np.asarray(y), yt, atol=5e-5, rtol=1e-3)
 
 
-def test_streaming_rejects_resblocks():
+def test_streaming_accepts_resblocks():
+    """Residual-trunk encoders STREAM since _ResBlockStream
+    (streaming.py); offline-equality is pinned in test_streaming.py —
+    here just assert construction + a first block emit."""
+    import numpy as np
     from pase_tpu.streaming import StreamingEncoder
     from pase_tpu.frontend import wf_builder
     cfg = dict(kwidths=[65, 11], strides=[1, 10], fmaps=[16, 16],
                emb_dim=16, resblocks=True)
     enc = wf_builder(cfg)
     enc.init(example_len=3200, batch=1)
-    with pytest.raises(NotImplementedError):
-        StreamingEncoder(enc)
+    se = StreamingEncoder(enc)
+    out = se.push(np.zeros((1, 3200), np.float32))
+    assert out.shape[0] == 1 and out.shape[1] == 16
 
 
 # ---------------------------------------------------------------------------

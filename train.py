@@ -84,6 +84,10 @@ def build_argparser():
                    help="use the native C++ decode/crop loader")
     p.add_argument("--compute_dtype", type=str, default=None,
                    help="bfloat16 for mixed-precision MXU passes")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="model-parallel mesh width (column-parallel "
+                        "params over the 'model' axis); devices/n_model "
+                        "become the data-parallel width")
     p.add_argument("--no_fused_feed", action="store_true", default=False,
                    help="keep the dispatch-per-batch staged feed even "
                         "for device-side batchers (debugging)")
@@ -363,8 +367,13 @@ def train(opts):
                random_scale=str2bool(opts.random_scale),
                ckpt_continue=not str2bool(opts.no_continue))
     gan_cfg = json.loads(opts.gan_cfg) if opts.gan_cfg else None
+    mesh = None
+    if opts.n_model > 1:
+        from pase_tpu.parallel.mesh import get_mesh
+        mesh = get_mesh(n_model=opts.n_model)
+        print(f"mesh: {dict(mesh.shape)} (data x model)")
     tr = Trainer(fe_cfg, wk_cfg, cfg, stats=stats, dist_cfg=dist_cfg,
-                 dist_assets=dist_assets, gan_cfg=gan_cfg)
+                 dist_assets=dist_assets, gan_cfg=gan_cfg, mesh=mesh)
     tr.train_(batcher, va_batcher, resume=cfg["ckpt_continue"])
 
 
