@@ -143,8 +143,8 @@ class CachedTargetBatcher(ChunkBatcher):
             p = nf - len(piece)
             if p < len(piece):
                 # reflect tail: wav[-2:-2-p:-1] at frame granularity
-                pad = piece[-2:-2 - p:-1] if len(piece) >= 2 \
-                    else np.repeat(piece[-1:], p, axis=0)
+                # (p >= 1 and p < len imply len >= 2 here)
+                pad = piece[-2:-2 - p:-1]
             else:
                 reps = int(np.ceil(nf / len(piece)))
                 return np.tile(piece, (reps, 1))[:nf]

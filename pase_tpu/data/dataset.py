@@ -144,19 +144,24 @@ class ChunkBatcher:
         for i in range(b):
             idx = self.rng.randint(len(ds))
             sub = ds.datasets[ds._locate(idx)[0]] if subsets else ds
-            wav, cwav, rwav = ds.sample_tuple(idx, self.rng)
+            tup = ds.sample_tuple(idx, self.rng)
+            wav, cwav, rwav = tup[:3]
+            # optional 4th element: a dedicated contrastive-context
+            # source (AMI channel-key mode returns the neighbor's SDM
+            # channel here); default is the clean/neighbor wav
+            ctxt_src = tup[3] if len(tup) > 3 else cwav
             if getattr(sub, "parallel", False):
                 # parallel clean/noisy: one shared window for chunk and
                 # cchunk (reference GenhancementDataset semantics); the
-                # contrastive ctxt is an independent clean crop
+                # contrastive ctxt is an independent crop
                 beg = (self.rng.randint(0, len(wav) - t)
                        if len(wav) > t else 0)
                 chunk[i] = crop_at(wav, beg, t)
                 cchunk[i] = crop_at(cwav, beg, t)
-                ctxt[i] = crop_chunk(cwav, t, self.rng)
+                ctxt[i] = crop_chunk(ctxt_src, t, self.rng)
             else:
                 chunk[i] = crop_chunk(wav, t, self.rng)
-                ctxt[i] = crop_chunk(cwav, t, self.rng)
+                ctxt[i] = crop_chunk(ctxt_src, t, self.rng)
                 if cchunk is not None:
                     cchunk[i] = chunk[i]
             rand[i] = crop_chunk(rwav, t, self.rng)
@@ -332,9 +337,15 @@ class AmiSegTupleWavDataset(GenhancementDataset):
       distant-mic paths under per-channel keys (the ami-cfg builder's
       output, data/prep/unsupervised_data_cfg_ami.py) — each sample
       draws a RANDOM distant channel for chunk/rand while cchunk stays
-      the close-talk 'filename' (reference __getitem__:607-637);
+      the close-talk 'filename'; the contrastive context is a
+      same-prefix NEIGHBOR utterance in the SAME distant channel,
+      falling back to the current utterance's distant channel when the
+      prefix has no other segment (reference __getitem__:607-637);
       entries missing any requested channel are dropped
-      (reference:547-555).
+      (reference:547-555). Deviation: the reference mutates its cached
+      neighbor list (``neighbors.remove(...)`` on the shared table,
+      dataset.py:594) so each visit permanently shrinks the prefix
+      pool; we sample non-destructively.
     """
 
     def __init__(self, data_root, clean_root, data_cfg_file, split,
@@ -351,25 +362,33 @@ class AmiSegTupleWavDataset(GenhancementDataset):
                 print(f"AmiSegTupleWavDataset: dropped {n_lost} segments "
                       f"missing sdm channels {self.ihm2sdm}")
             self.wavs = kept
-            self.neighbor_prefixes = {}
+            # prefix -> cfg ENTRIES (dicts), so a neighbor can be read
+            # in any requested distant channel (reference:558-565)
+            self.neighbor_entries = {}
             for wav in self.wavs:
                 prefix = self.rec.sub("", wav["filename"])
-                self.neighbor_prefixes.setdefault(prefix, []).append(
-                    wav["filename"])
+                self.neighbor_entries.setdefault(prefix, []).append(wav)
 
     def sample_tuple(self, index: int, rng=None):
         if not self.ihm2sdm:
             return super().sample_tuple(index, rng)
         rng = self.rng if rng is None else rng
         entry = self.wavs[index]
+        # one random distant channel shared by chunk/ctxt/rand
+        # (reference:612 picks idx once per sample)
         chan = self.ihm2sdm[rng.randint(len(self.ihm2sdm))]
         noisy = self._load(entry[chan])
         clean = self._load_clean(entry["filename"])
+        prefix = self.rec.sub("", entry["filename"])
+        neighbors = [e for e in self.neighbor_entries[prefix]
+                     if e["filename"] != entry["filename"]]
+        ctxt = (self._load(neighbors[rng.randint(len(neighbors))][chan])
+                if neighbors else noisy)
         rindex = rng.randint(len(self.wavs) - 1)
         if rindex >= index:
             rindex += 1
         rwav = self._load(self.wavs[rindex][chan])
-        return noisy, clean, rwav
+        return noisy, clean, rwav, ctxt
 
 
 def _load_utt2class(utt2class: str) -> dict:

@@ -41,10 +41,12 @@ Not supported (host path covers these): parallel clean/noisy corpora
 distortions (codec2/whisperize need host arrays), --cache_feats_dir.
 
 Scale limit: int32 gather indices cap one buffer at 2^31 samples
-(~37 h at 16 kHz) per process; larger corpora belong on >= 2 hosts
-with per-host data_cfg slices (a 50 h corpus across 2 hosts is 25 h
-per buffer).  The build raises past the cap.  The padded neighbor
-table is O(n_utts * max_siblings) int32 on device.
+(~37 h at 16 kHz) per process.  The build raises past the cap.  The
+padded neighbor table is O(n_utts * max_siblings) int32 on device.
+Multi-process (DCN) runs are NOT supported yet — the trainer's fused
+feed is single-process, and the staged fallback would device_get every
+HBM batch back to the host (train.py guards this loudly); multi-host
+disk feeds use --wire_dtype int16 instead.
 """
 
 import numpy as np

@@ -83,23 +83,9 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
             if got == n:
                 return buf, 16000
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        ch = w.getnchannels()
-        sw = w.getsampwidth()
-        raw = w.readframes(n)
-    if sw == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif sw == 4:
-        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    elif sw == 1:
-        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
-                - 128.0) / 128.0
-    else:
-        raise ValueError(f"Unsupported sample width {sw} in {path}")
-    if ch > 1:
-        data = data.reshape(-1, ch)[:, 0].copy()
+    data, sr = read_wav_channels(path)
+    if data.ndim > 1:
+        data = data[:, 0].copy()
     return data, sr
 
 

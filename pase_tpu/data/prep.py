@@ -116,6 +116,11 @@ def vad_segment_corpus(data_root: str, file_list: Sequence[str],
     ``<name>-<side>-<segid>.wav`` segments under ``out_root`` (dir
     structure mirrored). Signals are peak-normalized before VAD and
     export, as the reference does."""
+    if channel not in _CHANNEL_SIDES:
+        # validate BEFORE the expensive VAD pass, not at export time
+        raise ValueError(
+            f"channel must be one of {sorted(_CHANNEL_SIDES)} "
+            f"(segment names carry a side letter), got {channel}")
     entries = []
     for fname in file_list:
         wav, sr = read_wav_channels(os.path.join(data_root, fname))
@@ -465,7 +470,9 @@ def _fixed_length(y: np.ndarray, n_samples: int, rng) -> np.ndarray:
     """Random n-sample crop, or tile short signals up to length
     (prep_rec, prep_voxceleb.py:7-32)."""
     if len(y) > n_samples:
-        ridx = rng.randint(0, len(y) - n_samples - 1)
+        # high-exclusive: start in [0, len-n-1] (reference randint(0,
+        # len-n)); len == n+1 must yield start 0, not a ValueError
+        ridx = rng.randint(0, len(y) - n_samples)
         return y[ridx:ridx + n_samples]
     mul = int(np.ceil(n_samples / max(len(y), 1)))
     return np.tile(y, mul)[:n_samples]

@@ -167,8 +167,16 @@ def test_ami_segment_and_cfg(ami_corpus, tmp_path):
     from pase_tpu.data.dataset import AmiSegTupleWavDataset, ChunkBatcher
     ds = AmiSegTupleWavDataset(str(out), None, str(cfg_path), "train",
                                ihm2sdm="1,3", seed=0)
-    noisy, clean, rand = ds.sample_tuple(0)
+    noisy, clean, rand, ctxt = ds.sample_tuple(0)
     assert len(noisy) == len(clean)
+    # the contrastive ctxt must be a DISTANT-channel wav (same-prefix
+    # neighbor or the current segment's own sdm), never the clean ihm
+    entry = ds.wavs[0]
+    prefix = ds.rec.sub("", entry["filename"])
+    sdm_candidates = {e[c] for e in ds.neighbor_entries[prefix]
+                      for c in ("1", "3")}
+    assert any(np.array_equal(ctxt, ds._load(f)) for f in sdm_candidates)
+    assert not np.array_equal(ctxt, clean)
     batch = next(iter(ChunkBatcher(ds, 4, 8000, seed=0)))
     assert set(batch) >= {"chunk", "chunk_ctxt", "chunk_rand", "cchunk"}
     assert batch["cchunk"].shape == (4, 8000)

@@ -316,6 +316,16 @@ def train(opts):
                     "--device_corpus supports a single "
                     "LibriSpeechSegTupleWavDataset corpus (no parallel "
                     "trees / MetaConcat / --cache_feats_dir)")
+            if jax.process_count() > 1:
+                # the fused device feed is single-process only; falling
+                # through to the staged path would device_get every
+                # HBM-gathered batch back to the host and re-upload it —
+                # reinstating the exact H2D bottleneck --device_corpus
+                # exists to remove (trainer.py fused-feed gate)
+                raise ValueError(
+                    "--device_corpus is single-process only for now; "
+                    "multi-host runs should use --wire_dtype int16 "
+                    "(halves the per-step H2D bytes) instead")
             from pase_tpu.data.device_corpus import DeviceCorpusBatcher
             batcher = DeviceCorpusBatcher(ds, local_bs, opts.chunk_size,
                                           seed=seed0)
