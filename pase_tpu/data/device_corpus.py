@@ -36,8 +36,16 @@ Documented deviations:
     amplitude noise quantizes to exact silence on the int16 grid (the
     same caveat as train.py --wire_dtype int16).
 
-Not supported (host path covers these): parallel clean/noisy corpora
-(cchunk trees), MetaConcat multi-corpus dist masks, host-stage
+Parallel clean/noisy corpora (GenhancementDataset / AMI tree mode,
+``dataset.parallel``) are supported with a SECOND clean-tree buffer:
+'chunk' and 'cchunk' share one anchor window (host ChunkBatcher
+crop_at semantics), 'chunk_ctxt' is an independent clean crop of the
+same utterance (GenhancementDataset.sample_tuple), 'chunk_rand' comes
+from the noisy tree.  Budget doubles: 50 h noisy+clean = 11.5 GB int16.
+
+Not supported (host path covers these): AMI channel-key mode
+(--ihm2sdm multi-channel cfg entries), MetaConcat multi-corpus dist
+masks, zero-speech injection on parallel corpora, host-stage
 distortions (codec2/whisperize need host arrays), --cache_feats_dir.
 
 Scale limit: int32 gather indices cap one buffer at 2^31 samples
@@ -51,7 +59,7 @@ disk feeds use --wire_dtype int16 instead.
 
 import numpy as np
 
-__all__ = ["DeviceCorpusBatcher"]
+__all__ = ["DeviceCorpusBatcher", "ShardedDeviceCorpusBatcher"]
 
 
 class DeviceCorpusBatcher:
@@ -76,6 +84,10 @@ class DeviceCorpusBatcher:
         self.bpe = max(
             (dataset.total_wav_dur // chunk_size) // batch_size, 1)
         self.zero_speech_p = getattr(dataset, "zero_speech_p", 0.0)
+        self.parallel = bool(getattr(dataset, "parallel", False))
+        if self.parallel and self.zero_speech_p > 0:
+            raise ValueError("zero-speech injection is not supported on "
+                             "parallel (clean/noisy) device corpora")
 
         # ---- host-side index tables --------------------------------------
         names = [w["filename"] for w in dataset.wavs]
@@ -91,21 +103,28 @@ class DeviceCorpusBatcher:
             self.neighbors.append(np.asarray(sibs if sibs else [i],
                                              dtype=np.int64))
 
-        # ---- build the int16 HBM buffer ----------------------------------
-        offsets = np.empty(n, dtype=np.int64)
-        lengths = np.empty(n, dtype=np.int64)
-        parts = []
-        pos = 0
-        for i, f in enumerate(names):
-            wav = dataset._load(f)
-            if len(wav) < chunk_size:  # pad once, crop_chunk semantics
-                wav = crop_at(wav, 0, chunk_size)
-            dataset.wav_cache.pop(f, None)  # buffer replaces host cache
-            pcm = np.clip(wav * 32768.0, -32768, 32767).astype(np.int16)
-            offsets[i] = pos
-            lengths[i] = len(pcm)
-            parts.append(pcm)
-            pos += len(pcm)
+        # ---- build the int16 HBM buffer(s) --------------------------------
+        def pack_tree(load, cache_prefix=""):
+            """Pack one wav tree into (offsets, lengths, parts, pos)."""
+            offs = np.empty(n, dtype=np.int64)
+            lens = np.empty(n, dtype=np.int64)
+            pts = []
+            p = 0
+            for i, f in enumerate(names):
+                wav = load(f)
+                if len(wav) < chunk_size:  # pad once, crop_chunk semantics
+                    wav = crop_at(wav, 0, chunk_size)
+                # buffer replaces the host cache
+                dataset.wav_cache.pop(cache_prefix + f, None)
+                pcm = np.clip(wav * 32768.0, -32768,
+                              32767).astype(np.int16)
+                offs[i] = p
+                lens[i] = len(pcm)
+                pts.append(pcm)
+                p += len(pcm)
+            return offs, lens, pts, p
+
+        offsets, lengths, parts, pos = pack_tree(dataset._load)
         if self.zero_speech_p > 0:
             zs_rng = np.random.RandomState(seed + 911)
             self._zs_ids = np.arange(n, n + zero_speech_bank)
@@ -129,6 +148,21 @@ class DeviceCorpusBatcher:
         self.buf = jax.device_put(jnp.asarray(buf))
         self.buf_gb = buf.nbytes / 1e9
         del buf
+        if self.parallel:
+            coffsets, clengths, cparts, cpos = pack_tree(
+                dataset._load_clean, "clean::")
+            if cpos >= 1 << 31:
+                raise ValueError(
+                    f"clean device corpus is {cpos} samples (> 2^31 "
+                    "int32 gather-index cap)")
+            cbuf = np.concatenate(cparts)
+            cparts.clear()
+            self.cbuf = jax.device_put(jnp.asarray(cbuf))
+            self.buf_gb += cbuf.nbytes / 1e9
+            self.coffsets, self.clengths = coffsets, clengths
+            self._d_coffsets = jnp.asarray(coffsets.astype(np.int32))
+            self._d_clengths = jnp.asarray(clengths.astype(np.int32))
+            del cbuf
 
         # ---- device-side index tables ------------------------------------
         # padded neighbor matrix: nb_tab[i, j < nb_cnt[i]] are i's
@@ -194,34 +228,102 @@ class DeviceCorpusBatcher:
         self._next_body = next_batch         # un-jitted: fused-feed path
         self._sample = jax.jit(sample_starts)
 
+        if self.parallel:
+            def sample_starts_par(key, offs, lens, coffs, clens):
+                """[4, B] absolute starts (noisy anchor, clean anchor,
+                clean ctxt, noisy rand).  chunk and cchunk share ONE
+                window offset, valid in both trees (min of the two
+                spans; the host path clamps the clean beg instead —
+                identical when the parallel recordings have equal
+                length, which the corpus builders guarantee)."""
+                ks = jax.random.split(key, 4)
+                idx = jax.random.randint(ks[0], (b,), 0, n_utts)
+                span = jnp.maximum(
+                    jnp.minimum(lens[idx], clens[idx]) - t, 0)
+                r = jax.random.randint(ks[1], (b, 2), 0, 1 << 30)
+                rel = jnp.where(span > 0, r[:, 0] % (span + 1), 0)
+                # ctxt: independent crop of the CLEAN current utterance
+                # (GenhancementDataset.sample_tuple returns clean as the
+                # context source)
+                cspan = jnp.maximum(clens[idx] - t, 0)
+                crel = jnp.where(cspan > 0, r[:, 1] % (cspan + 1), 0)
+                if n_utts > 1:
+                    rr = jax.random.randint(ks[2], (b,), 0, n_utts - 1)
+                    rand = jnp.where(rr >= idx, rr + 1, rr)
+                else:
+                    rand = jnp.zeros((b,), jnp.int32)
+                rspan = jnp.maximum(lens[rand] - t, 0)
+                r2 = jax.random.randint(ks[3], (b,), 0, 1 << 30)
+                rrel = jnp.where(rspan > 0, r2 % (rspan + 1), 0)
+                return jnp.stack([offs[idx] + rel, coffs[idx] + rel,
+                                  coffs[idx] + crel, offs[rand] + rrel])
+
+            def next_batch_par(buf, cbuf, key, offs, lens, coffs,
+                               clens):
+                key, sub = jax.random.split(key)
+                st = sample_starts_par(sub, offs, lens, coffs, clens)
+
+                def slc(bf, starts):
+                    return jax.vmap(lambda s: jax.lax.dynamic_slice(
+                        bf, (s,), (t,)))(starts)
+
+                rows = jnp.concatenate([
+                    slc(buf, st[0]), slc(cbuf, st[1]),
+                    slc(cbuf, st[2]), slc(buf, st[3])])
+                return rows.astype(jnp.float32) / 32768.0, st, key
+
+            self._next = jax.jit(next_batch_par)
+            self._next_body = next_batch_par
+            self._sample = jax.jit(sample_starts_par)
+
     # ---- index sampling (device; host wrapper for tests) ----------------
     def _sample_starts(self):
-        """[3, B] absolute starts for the NEXT batch (advances the key);
-        numpy copy for inspection/tests."""
+        """[3|4, B] absolute starts for the NEXT batch (advances the
+        key); numpy copy for inspection/tests."""
         import jax
         self._key, sub = jax.random.split(self._key)
+        if self.parallel:
+            return np.asarray(jax.device_get(self._sample(
+                sub, self._d_offsets, self._d_lengths,
+                self._d_coffsets, self._d_clengths)))
         zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
         return np.asarray(jax.device_get(self._sample(
             sub, self._d_offsets, self._d_lengths, self._d_nb,
             self._d_cnt, zs)))
 
-    def __iter__(self):
+    def _rows_to_batch(self, rows):
         b = self.batch_size
-        zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
+        if self.parallel:
+            return {"chunk": rows[:b], "cchunk": rows[b:2 * b],
+                    "chunk_ctxt": rows[2 * b:3 * b],
+                    "chunk_rand": rows[3 * b:]}
+        return {"chunk": rows[:b], "chunk_ctxt": rows[b:2 * b],
+                "chunk_rand": rows[2 * b:]}
+
+    def __iter__(self):
         while True:
-            rows, starts, self._key = self._next(
-                self.buf, self._key, self._d_offsets, self._d_lengths,
-                self._d_nb, self._d_cnt, zs)
-            self.last_starts = starts            # device [3*B], for tests
-            yield {"chunk": rows[:b],
-                   "chunk_ctxt": rows[b:2 * b],
-                   "chunk_rand": rows[2 * b:]}
+            if self.parallel:
+                rows, starts, self._key = self._next(
+                    self.buf, self.cbuf, self._key, self._d_offsets,
+                    self._d_lengths, self._d_coffsets, self._d_clengths)
+            else:
+                zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
+                rows, starts, self._key = self._next(
+                    self.buf, self._key, self._d_offsets,
+                    self._d_lengths, self._d_nb, self._d_cnt, zs)
+            self.last_starts = starts        # device [3|4 * B], for tests
+            yield self._rows_to_batch(rows)
 
     # ---- fused in-graph feed (Trainer.make_fused_feed_step) --------------
     def feed_state(self):
         """Pytree of device arrays the fused train step threads through
         (the corpus buffer rides along as a jit argument — never a
         captured constant — so it is not baked into the executable)."""
+        if self.parallel:
+            return {"buf": self.buf, "cbuf": self.cbuf,
+                    "key": self._key, "offs": self._d_offsets,
+                    "lens": self._d_lengths, "coffs": self._d_coffsets,
+                    "clens": self._d_clengths}
         zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
         return {"buf": self.buf, "key": self._key,
                 "offs": self._d_offsets, "lens": self._d_lengths,
@@ -231,9 +333,12 @@ class DeviceCorpusBatcher:
         """Traceable: feed_state -> (raw batch, new feed_state).  Same
         sampling body and key threading as __iter__, so fused and
         dispatch-per-batch execution yield identical batch sequences."""
-        rows, _, key = self._next_body(fs["buf"], fs["key"], fs["offs"],
-                                       fs["lens"], fs["nb"], fs["cnt"],
-                                       fs["zs"])
-        b = self.batch_size
-        return ({"chunk": rows[:b], "chunk_ctxt": rows[b:2 * b],
-                 "chunk_rand": rows[2 * b:]}, dict(fs, key=key))
+        if self.parallel:
+            rows, _, key = self._next_body(
+                fs["buf"], fs["cbuf"], fs["key"], fs["offs"],
+                fs["lens"], fs["coffs"], fs["clens"])
+        else:
+            rows, _, key = self._next_body(
+                fs["buf"], fs["key"], fs["offs"], fs["lens"], fs["nb"],
+                fs["cnt"], fs["zs"])
+        return self._rows_to_batch(rows), dict(fs, key=key)

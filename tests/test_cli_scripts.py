@@ -552,6 +552,72 @@ def test_train_cli_device_corpus(corpus, tmp_path):
     assert tr_rows and all(np.isfinite(r["total"]) for r in tr_rows)
 
 
+def test_train_cli_device_corpus_parallel(corpus, tmp_path):
+    """train.py --device_corpus with a parallel clean/noisy tree
+    (GenhancementDataset): both trees live in HBM; the batch carries
+    the aligned cchunk from the clean buffer."""
+    root, wavdir, files = corpus
+    sys.path.insert(0, REPO)
+    import data_prep
+    import train as train_cli
+    import argparse
+    from pase_tpu.data.io import read_wav, write_wav
+
+    noisy = tmp_path / "noisy"
+    clean = tmp_path / "clean"
+    noisy.mkdir()
+    clean.mkdir()
+    for f in files:
+        w, _ = read_wav(os.path.join(str(wavdir), f))
+        write_wav(str(clean / f), w)
+        write_wav(str(noisy / f), w + 0.05)
+
+    cfg_file = str(tmp_path / "data.cfg")
+    data_prep.build_cfg(argparse.Namespace(
+        data_root=str(noisy), train_scp=str(root / "tr.scp"),
+        test_scp=None, libri_dict=None, cfg_file=cfg_file,
+        val_ratio=0.34, seed=3))
+
+    wk = {"regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                    "hidden_layers": 1, "name": "mfcc", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": [{"num_outputs": 1, "dropout": 0, "hidden_size": 32,
+                   "hidden_layers": 1, "name": "mi",
+                   "loss": "BCEWithLogitsLoss", "skip": False}]}
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    wk_path, fe_path = str(tmp_path / "wk.cfg"), str(tmp_path / "fe.cfg")
+    with open(wk_path, "w") as f:
+        json.dump(wk, f)
+    with open(fe_path, "w") as f:
+        json.dump(fe, f)
+
+    argv = ["--net_cfg", wk_path, "--fe_cfg", fe_path,
+            "--data_root", str(noisy), "--data_cfg", cfg_file,
+            "--dataset", "GenhancementDataset",
+            "--clean_root", str(clean),
+            "--device_corpus", "--num_workers", "1",
+            "--batch_size", "8", "--chunk_size", "4800", "--epoch", "1",
+            "--log_freq", "2", "--save_path", str(tmp_path / "ckpt")]
+    opts = train_cli.build_argparser().parse_args(argv)
+    from pase_tpu.trainer import Trainer
+    orig_train = Trainer.train_
+
+    def short_train(self, *a, **k):
+        self.bpe = 2
+        return orig_train(self, *a, **k)
+    Trainer.train_ = short_train
+    try:
+        train_cli.train(opts)
+    finally:
+        Trainer.train_ = orig_train
+    assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")
+    with open(tmp_path / "ckpt" / "metrics.jsonl") as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    tr_rows = [r for r in rows if r.get("split") == "train"]
+    assert tr_rows and all(np.isfinite(r["total"]) for r in tr_rows)
+
+
 def test_train_cli_n_model_2(tmp_path):
     """--n_model 2 on the 8-device CPU mesh: 4x2 data x model mesh,
     column-parallel params (Trainer.init_state auto-applies

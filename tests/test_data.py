@@ -512,6 +512,63 @@ def test_device_corpus_sampling_semantics(corpus):
             assert 0 <= off <= int(b.lengths[u]) - 4000
 
 
+def test_device_corpus_parallel_trees(corpus, tmp_path):
+    """Parallel (clean/noisy) device corpus: two HBM buffers; chunk and
+    cchunk share ONE window offset across the trees (host
+    ChunkBatcher/crop_at semantics); ctxt is an independent CLEAN crop
+    of the same utterance; rand comes from the noisy tree."""
+    from pase_tpu.data.device_corpus import DeviceCorpusBatcher
+    from pase_tpu.data.dataset import GenhancementDataset
+
+    root, cfg = corpus
+    clean = tmp_path / "clean"
+    noisy = tmp_path / "noisy"
+    clean.mkdir()
+    noisy.mkdir()
+    for f in os.listdir(root):
+        if not f.endswith(".wav"):
+            continue
+        w, _ = read_wav(os.path.join(root, f))
+        write_wav(str(clean / f), w)
+        write_wav(str(noisy / f), w + 0.125)   # known additive "noise"
+    ds = GenhancementDataset(str(noisy), str(clean), cfg, "train")
+    t = 4000
+    b = DeviceCorpusBatcher(ds, batch_size=8, chunk_size=t, seed=7)
+    batch = next(iter(b))
+    assert set(batch) == {"chunk", "cchunk", "chunk_ctxt", "chunk_rand"}
+    for k in batch:
+        assert batch[k].shape == (8, t)
+    # exact alignment: noisy - clean == the constant offset everywhere
+    np.testing.assert_allclose(
+        np.asarray(batch["chunk"]) - np.asarray(batch["cchunk"]), 0.125,
+        atol=2e-4)
+    # ctxt is an independent clean crop, generally NOT the cchunk window
+    assert not np.allclose(np.asarray(batch["chunk_ctxt"]),
+                           np.asarray(batch["cchunk"]))
+
+    # index semantics on a fresh same-seed batcher
+    b2 = DeviceCorpusBatcher(ds, batch_size=8, chunk_size=t, seed=7)
+    s = b2._sample_starts()                      # [4, B]
+    assert s.shape[0] == 4
+    for j in range(8):
+        i = int(np.searchsorted(b2.offsets, int(s[0, j]),
+                                side="right") - 1)
+        ci = int(np.searchsorted(b2.coffsets, int(s[1, j]),
+                                 side="right") - 1)
+        assert ci == i                           # same utterance
+        # shared relative window offset across the two trees
+        assert int(s[0, j]) - int(b2.offsets[i]) == \
+            int(s[1, j]) - int(b2.coffsets[ci])
+        # ctxt: same utterance, clean tree
+        cti = int(np.searchsorted(b2.coffsets, int(s[2, j]),
+                                  side="right") - 1)
+        assert cti == i
+        # rand: different utterance, noisy tree
+        ri = int(np.searchsorted(b2.offsets, int(s[3, j]),
+                                 side="right") - 1)
+        assert ri != i
+
+
 def test_device_corpus_short_utterance_pad(tmp_path):
     """Utterances shorter than the chunk are padded ONCE at build with
     crop_chunk's reflect-tail semantics."""

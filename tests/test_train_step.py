@@ -522,3 +522,47 @@ def test_fused_feed_device_corpus_finite(tmp_path):
         l = jax.device_get(losses)
         assert all(np.isfinite(float(v)) for v in l.values()), l
     assert not np.array_equal(k0, np.asarray(jax.device_get(feed["key"])))
+
+
+def test_fused_feed_parallel_device_corpus(tmp_path):
+    """Fused feed over a PARALLEL (clean/noisy) device corpus: the
+    in-graph batch carries cchunk from the clean HBM buffer; two steps,
+    finite losses."""
+    import os
+    from pase_tpu.data.device_corpus import DeviceCorpusBatcher
+    from pase_tpu.data.dataset import GenhancementDataset
+    from pase_tpu.data.io import write_wav
+
+    rng = np.random.RandomState(1)
+    noisy = tmp_path / "noisy"
+    clean = tmp_path / "clean"
+    noisy.mkdir()
+    clean.mkdir()
+    names = []
+    for spk in (1, 2):
+        for utt in range(3):
+            nm = f"{spk}-{spk}-{utt:04d}.wav"
+            w = rng.randn(9000).astype(np.float32) * 0.2
+            write_wav(str(clean / nm), w)
+            write_wav(str(noisy / nm), w + 0.1)
+            names.append(nm)
+    dcfg = {"train": {"data": [{"filename": n} for n in names],
+                      "total_wav_dur": 9000 * len(names)}}
+    cfg_p = str(tmp_path / "cfg.json")
+    with open(cfg_p, "w") as f:
+        json.dump(dcfg, f)
+    ds = GenhancementDataset(str(noisy), str(clean), cfg_p, "train")
+    b = DeviceCorpusBatcher(ds, batch_size=8, chunk_size=4800, seed=3)
+    assert b.parallel
+
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=10,
+               batch_size=8, chunk_size=4800, log_freq=1000,
+               save_path="/tmp/pase_fused_pdc")
+    tr = Trainer(SMALL_FRONTEND, SMALL_WORKERS, cfg, mesh=get_mesh())
+    state = tr.init_state(0)
+    fused = tr.make_fused_feed_step(b.feed_fn)
+    feed = b.feed_state()
+    for _ in range(2):
+        state, losses, feed = fused(state, feed)
+        l = jax.device_get(losses)
+        assert all(np.isfinite(float(v)) for v in l.values()), l

@@ -308,14 +308,18 @@ def train(opts):
             # corpus lives in HBM; host ships only crop indices
             # (device_corpus.py — the H2D bottleneck fix). Eval stays on
             # the host path (once an epoch).
-            if n_ds != 1 or opts.cache_feats_dir or opts.clean_root \
-                    or _nth(opts.dataset, 0,
-                            "LibriSpeechSegTupleWavDataset") \
-                    != "LibriSpeechSegTupleWavDataset":
+            ds0 = _nth(opts.dataset, 0, "LibriSpeechSegTupleWavDataset")
+            if n_ds != 1 or opts.cache_feats_dir or \
+                    ds0 not in ("LibriSpeechSegTupleWavDataset",
+                                "GenhancementDataset",
+                                "AmiSegTupleWavDataset") or \
+                    (opts.ihm2sdm and ds0 == "AmiSegTupleWavDataset"):
                 raise ValueError(
-                    "--device_corpus supports a single "
-                    "LibriSpeechSegTupleWavDataset corpus (no parallel "
-                    "trees / MetaConcat / --cache_feats_dir)")
+                    "--device_corpus supports a single corpus: "
+                    "LibriSpeechSegTupleWavDataset, or a parallel "
+                    "clean/noisy tree (GenhancementDataset / AMI tree "
+                    "mode — channel-key --ihm2sdm stays on the host "
+                    "path); no MetaConcat / --cache_feats_dir")
             if jax.process_count() > 1:
                 # the fused device feed is single-process only; falling
                 # through to the staged path would device_get every
