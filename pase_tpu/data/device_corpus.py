@@ -51,10 +51,18 @@ distortions (codec2/whisperize need host arrays), --cache_feats_dir.
 Scale limit: int32 gather indices cap one buffer at 2^31 samples
 (~37 h at 16 kHz) per process.  The build raises past the cap.  The
 padded neighbor table is O(n_utts * max_siblings) int32 on device.
-Multi-process (DCN) runs are NOT supported yet — the trainer's fused
-feed is single-process, and the staged fallback would device_get every
-HBM batch back to the host (train.py guards this loudly); multi-host
-disk feeds use --wire_dtype int16 instead.
+Past the cap — or on any multi-chip mesh — use
+``ShardedDeviceCorpusBatcher`` (``--shard_device_corpus``): the corpus
+is PARTITIONED over the mesh's data axis, one HBM shard per device,
+shard_map samples each device's sub-batch in place, and capacity
+scales linearly with chips (8 x v5e = ~300 h) with no per-step buffer
+broadcast.  The sharded batcher is also the multi-process (DCN) path:
+the layout comes from wav headers on every host identically, each host
+decodes only the shards its devices own, and the fused feed runs as
+one multi-controller SPMD program (2-process CPU test,
+tests/test_multihost.py).  The single-BUFFER batcher stays
+single-process (train.py guards this loudly — the staged fallback
+would device_get every HBM batch back through the slow wire).
 """
 
 import numpy as np
@@ -342,3 +350,263 @@ class DeviceCorpusBatcher:
                 fs["buf"], fs["key"], fs["offs"], fs["lens"], fs["nb"],
                 fs["cnt"], fs["zs"])
         return self._rows_to_batch(rows), dict(fs, key=key)
+
+
+class ShardedDeviceCorpusBatcher:
+    """Corpus SHARDED over the mesh's 'data' axis: shard d holds 1/D of
+    the utterances in its own chip's HBM, and each device samples +
+    gathers its own [B/D] sub-batch in place via ``shard_map`` — so
+    corpus capacity scales linearly with the mesh (D x the ~37 h int32
+    single-buffer cap) and the buffer is never broadcast or resharded
+    between chips.  The gathered sub-batches land exactly in
+    ``batch_sharding(mesh)`` layout (row block d on shard d), so the
+    fused train step consumes them with zero data motion.
+
+    TPU-native scale-out of DeviceCorpusBatcher (reference hot loop
+    /root/reference/train.py:278-281 reads host DataLoader tuples):
+    where the single-buffer batcher answers "the corpus fits one chip",
+    this answers "the corpus fits the POD" — 8 x v5e = ~300 h of PCM16
+    audio resident in HBM with a zero-byte steady-state feed.
+
+    Documented deviations from the single-buffer sampler:
+      * the batch is STRATIFIED over shards — row block d always comes
+        from shard d's utterances (a fixed seeded partition; prefix
+        groups are kept whole so same-prefix neighbor sampling stays
+        exact within a shard);
+      * chunk_rand draws a random OTHER utterance within the same
+        shard (the partition is random, so within-shard "other" is an
+        unbiased sample of "other" overall);
+      * zero-speech injection and parallel clean/noisy trees are not
+        supported (single-buffer / host paths cover those).
+
+    MULTI-PROCESS (DCN) capable: the shard layout is computed from wav
+    HEADER lengths on every process identically; each process decodes
+    and uploads ONLY the shards its own devices hold (per-host IO and
+    RAM scale down with the pod), and the fused feed runs as one
+    multi-controller SPMD program (``multiprocess_ok``).
+    """
+
+    parallel = False
+    multiprocess_ok = True       # fused feed is a global SPMD program
+    pre_sharded = True           # __iter__ yields mesh-global arrays
+
+    def __init__(self, dataset, batch_size: int, chunk_size: int,
+                 mesh, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+        from pase_tpu.data.dataset import crop_at
+
+        if getattr(dataset, "parallel", False):
+            raise ValueError("sharded device corpus does not support "
+                             "parallel clean/noisy trees yet")
+        if getattr(dataset, "zero_speech_p", 0.0) > 0:
+            raise ValueError("sharded device corpus does not support "
+                             "zero-speech injection")
+        D = int(mesh.shape["data"])
+        if batch_size % D != 0:
+            raise ValueError(f"batch {batch_size} not divisible by the "
+                             f"data axis ({D})")
+        self.batch_size = batch_size
+        self.chunk_size = chunk_size
+        self.mesh = mesh
+        self.n_shards = D
+        self.bpe = max(
+            (dataset.total_wav_dur // chunk_size) // batch_size, 1)
+
+        # ---- seeded partition: prefix groups -> D shards (greedy LPT
+        # on total samples, largest group first) ---------------------------
+        names = [w["filename"] for w in dataset.wavs]
+        groups = {}
+        for f in names:
+            groups.setdefault(dataset.rec.sub("", f), []).append(f)
+        glist = list(groups.values())
+        if len(glist) < D:
+            raise ValueError(
+                f"corpus has {len(glist)} filename-prefix groups but the "
+                f"mesh data axis is {D}; every shard needs at least one "
+                "group (use the single-buffer --device_corpus)")
+        rng = np.random.RandomState(seed + 13)
+        rng.shuffle(glist)
+
+        # header-only length probe: the partition must not decode (or
+        # host-cache) the whole corpus — a 50 h corpus is 11.5 GB of
+        # f32 if _load-cached here; packing below decodes each shard's
+        # wavs exactly once
+        import os as _os
+        from pase_tpu.data.io import wav_len
+
+        def gsize(g):
+            return sum(max(wav_len(_os.path.join(dataset.data_root, f)),
+                           chunk_size) for f in g)
+
+        sizes = [gsize(g) for g in glist]
+        order = np.argsort(sizes)[::-1]
+        shard_files = [[] for _ in range(D)]
+        shard_load = np.zeros(D, dtype=np.int64)
+        for gi in order:
+            d = int(np.argmin(shard_load))
+            shard_files[d].extend(glist[gi])
+            shard_load[d] += sizes[gi]
+
+        # ---- shard layout from HEADER lengths only (no decode) ------------
+        # every process computes the identical layout; audio is decoded
+        # below ONLY for the shards this process's devices own
+        t, b = chunk_size, batch_size
+        bl = b // D
+        self.shard_names = shard_files          # tests / inspection
+        U = max(max(len(fl) for fl in shard_files), 1)
+        NB = max((len(groups[dataset.rec.sub("", f)]) - 1
+                  for fl in shard_files for f in fl), default=0)
+        NB = max(NB, 1)
+        offs = np.zeros((D, U), np.int32)
+        lens = np.zeros((D, U), np.int32)
+        nb = np.zeros((D, U, NB), np.int32)
+        cnt = np.ones((D, U), np.int32)       # pad rows: cnt 1, nb 0
+        nut = np.zeros(D, np.int32)
+        totals = np.zeros(D, np.int64)
+        for d, files in enumerate(shard_files):
+            pos_of = {f: i for i, f in enumerate(files)}
+            p = 0
+            for i, f in enumerate(files):
+                n = max(wav_len(_os.path.join(dataset.data_root, f)),
+                        chunk_size)
+                offs[d, i], lens[d, i] = p, n
+                p += n
+                prefix = dataset.rec.sub("", f)
+                sibs = [pos_of[s] for s in groups[prefix] if s != f]
+                if not sibs:
+                    sibs = [i]
+                nb[d, i, :len(sibs)] = sibs
+                cnt[d, i] = len(sibs)
+            if p >= 1 << 31:
+                raise ValueError(
+                    f"one corpus shard is {p} samples (> 2^31 int32 "
+                    "cap); increase the mesh data axis")
+            nut[d] = len(files)
+            totals[d] = p
+        L = int(max(totals.max(), 1))
+        self.offsets, self.lengths = offs.copy(), lens.copy()
+        self.n_utts = nut.copy()
+        self.buf_gb = D * L * 2 / 1e9
+
+        # ---- decode + pack ONLY the shards this process owns ---------------
+        bsh = NamedSharding(mesh, P("data", None))
+        owned = sorted({idx[0].indices(D)[0]
+                        for dev, idx in
+                        bsh.addressable_devices_indices_map(
+                            (D, L)).items()})
+        self.owned_rows = list(owned)     # shards THIS process decoded
+        row_np = {}
+        for d in owned:
+            row = np.zeros(L, np.int16)
+            for i, f in enumerate(shard_files[d]):
+                wav = dataset._load(f)
+                if len(wav) < chunk_size:
+                    wav = crop_at(wav, 0, chunk_size)
+                dataset.wav_cache.pop(f, None)
+                pcm = np.clip(wav * 32768.0, -32768,
+                              32767).astype(np.int16)
+                if len(pcm) != lens[d, i]:
+                    raise ValueError(
+                        f"{f}: decoded {len(pcm)} samples but the "
+                        f"header said {lens[d, i]}")
+                row[offs[d, i]:offs[d, i] + len(pcm)] = pcm
+            row_np[d] = row
+
+        def put(source, spec, shape, dtype):
+            """Assemble a global array from per-device blocks — only
+            the blocks addressable by THIS process are materialized
+            (multi-process: each host decodes/ships only its shards)."""
+            sh = NamedSharding(mesh, spec)
+            imap = sh.addressable_devices_indices_map(shape)
+            pieces = [
+                jax.device_put(
+                    np.ascontiguousarray(np.asarray(source(idx), dtype)),
+                    dev)
+                for dev, idx in imap.items()]
+            return jax.make_array_from_single_device_arrays(
+                shape, sh, pieces)
+
+        def rows_of(idx):
+            r0, r1, _ = idx[0].indices(D)
+            return np.stack([row_np[d] for d in range(r0, r1)])
+
+        key0 = np.asarray(jax.random.PRNGKey(seed + 77))
+        self._fs0 = {
+            "buf": put(rows_of, P("data", None), (D, L), np.int16),
+            "offs": put(lambda i: offs[i], P("data", None), (D, U),
+                        np.int32),
+            "lens": put(lambda i: lens[i], P("data", None), (D, U),
+                        np.int32),
+            "nb": put(lambda i: nb[i], P("data", None, None), (D, U, NB),
+                      np.int32),
+            "cnt": put(lambda i: cnt[i], P("data", None), (D, U),
+                       np.int32),
+            "nut": put(lambda i: nut[i], P("data"), (D,), np.int32),
+            "key": put(lambda i: key0[i], P(), key0.shape, key0.dtype),
+        }
+        row_np.clear()
+
+        def block(buf, offs, lens, nb, cnt, nut, key):
+            """Per-shard sample + gather. Block shapes: buf [1, L],
+            offs/lens/cnt [1, U], nb [1, U, NB], nut [1], key [2]."""
+            d = jax.lax.axis_index("data")
+            k = jax.random.fold_in(key, d)
+            buf0, offs0, lens0 = buf[0], offs[0], lens[0]
+            nb0, cnt0, n0 = nb[0], cnt[0], nut[0]
+            ks = jax.random.split(k, 4)
+            idx = jax.random.randint(ks[0], (bl,), 0, n0)
+            j = jax.random.randint(ks[1], (bl,), 0, 1 << 30) % cnt0[idx]
+            ctxt = nb0[idx, j]
+            r = jax.random.randint(ks[2], (bl,), 0,
+                                   jnp.maximum(n0 - 1, 1))
+            rand = jnp.where(r >= idx, r + 1, r)
+            rand = jnp.where(n0 > 1, rand, jnp.zeros_like(rand))
+            ids = jnp.stack([idx, ctxt, rand])              # [3, bl]
+            span = jnp.maximum(lens0[ids] - t, 0)
+            rr = jax.random.randint(ks[3], (3, bl), 0, 1 << 30)
+            rel = jnp.where(span > 0, rr % (span + 1), 0)
+            starts = (offs0[ids] + rel).reshape(-1)
+            rows = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                buf0, (s,), (t,)))(starts)
+            rows = rows.astype(jnp.float32) / 32768.0
+            # ids/rel ride along for tests ([bl, 3] -> global [B, 3])
+            return (rows[:bl], rows[bl:2 * bl], rows[2 * bl:],
+                    ids.T.astype(jnp.int32), rel.T.astype(jnp.int32))
+
+        self._smapped = shard_map(
+            block, mesh=mesh,
+            in_specs=(P("data", None), P("data", None), P("data", None),
+                      P("data", None, None), P("data", None), P("data"),
+                      P()),
+            out_specs=(P("data", None), P("data", None),
+                       P("data", None), P("data", None),
+                       P("data", None)))
+
+        def step_fs(fs):
+            key, sub = jax.random.split(fs["key"])
+            c, x, r, ids, rel = self._smapped(
+                fs["buf"], fs["offs"], fs["lens"], fs["nb"], fs["cnt"],
+                fs["nut"], sub)
+            return ({"chunk": c, "chunk_ctxt": x, "chunk_rand": r},
+                    dict(fs, key=key), ids, rel)
+
+        self._step_fs = step_fs
+        self._jit_step = jax.jit(step_fs)
+
+    # ---- duck-compatible batcher / fused-feed interface -------------------
+    def feed_state(self):
+        return dict(self._fs0)
+
+    def feed_fn(self, fs):
+        batch, fs, _, _ = self._step_fs(fs)
+        return batch, fs
+
+    def __iter__(self):
+        fs = self.feed_state()
+        while True:
+            batch, fs, ids, rel = self._jit_step(fs)
+            self.last_ids, self.last_rel = ids, rel     # [B, 3] each
+            yield batch

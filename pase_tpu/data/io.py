@@ -89,6 +89,19 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return data, sr
 
 
+def wav_len(path: str) -> int:
+    """Sample count from the WAV header alone (no decode) — cheap
+    length probe for corpus partitioning (native wav_num_samples when
+    available, else the stdlib header read)."""
+    lib = _native_lib()
+    if lib is not None:
+        n = lib.wav_num_samples(path.encode())
+        if n > 0:
+            return int(n)
+    with wave.open(path, "rb") as w:
+        return w.getnframes()
+
+
 def read_wav_channels(path: str) -> Tuple[np.ndarray, int]:
     """Read a WAV keeping ALL channels -> ([N, C] or [N] float32, sr).
     Used by the corpus-prep layer (AMI array recordings, SWBD 2-channel

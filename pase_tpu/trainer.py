@@ -528,14 +528,23 @@ class Trainer:
         # fused in-graph feed: device-side batchers expose feed_fn /
         # feed_state (device corpus, on-device synthetic) — one dispatch
         # per step instead of feed + device_put + step.  Multi-process
-        # runs keep the staged path (per-host batch assembly).
+        # runs keep the staged path (per-host batch assembly) unless
+        # the batcher's feed is itself a global SPMD program
+        # (multiprocess_ok: the sharded device corpus).
         feed_fn = getattr(batcher, "feed_fn", None)
         fused = feed = None
-        if feed_fn is not None and jax.process_count() == 1 \
+        if feed_fn is not None \
+                and (jax.process_count() == 1
+                     or getattr(batcher, "multiprocess_ok", False)) \
                 and not self.cfg.get("no_fused_feed"):
             fused = self.make_fused_feed_step(feed_fn)
             feed = batcher.feed_state()
         else:
+            if getattr(batcher, "pre_sharded", False) \
+                    and jax.process_count() > 1:
+                raise ValueError(
+                    "the sharded device corpus requires the fused feed "
+                    "on multi-process runs (drop --no_fused_feed)")
             staged = stage(next(it))
         for e in range(epoch_beg, epochs):
             t0 = time.time()
@@ -591,11 +600,16 @@ class Trainer:
         n_batches = n_batches or self.cfg.get("va_bpe", 10)
         running: Dict[str, list] = {}
         it = iter(batcher)
+        pre_sharded = getattr(batcher, "pre_sharded", False)
         for bidx in range(n_batches):
             key, sub = jax.random.split(key)
             raw = next(it)
-            raw = shard_batch({k: jnp.asarray(v) for k, v in raw.items()},
-                              self.mesh)
+            if not pre_sharded:
+                # sharded-corpus batches are already mesh-global arrays;
+                # re-staging them would device_get non-addressable shards
+                raw = shard_batch(
+                    {k: jnp.asarray(v) for k, v in raw.items()},
+                    self.mesh)
             losses = jax.device_get(self._eval_step(state, raw, sub))
             for k, v in losses.items():
                 running.setdefault(k, []).append(float(v))

@@ -552,6 +552,74 @@ def test_train_cli_device_corpus(corpus, tmp_path):
     assert tr_rows and all(np.isfinite(r["total"]) for r in tr_rows)
 
 
+def test_train_cli_shard_device_corpus(tmp_path):
+    """train.py --device_corpus --shard_device_corpus: corpus sharded
+    over the 8-device CPU mesh's data axis, fused shard_map feed, one
+    short epoch end to end."""
+    sys.path.insert(0, REPO)
+    import train as train_cli
+    from pase_tpu.data.io import write_wav
+
+    rng = np.random.RandomState(4)
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    names = []
+    for g in range(16):                    # >= 8 prefix groups
+        for u in range(2):
+            nm = f"{300 + g}-9-{u:04d}.wav"
+            write_wav(str(wavdir / nm),
+                      rng.randn(9000).astype(np.float32) * 0.2)
+            names.append(nm)
+    dcfg = {"speakers": [str(300 + g) for g in range(16)],
+            "train": {"data": [{"filename": n} for n in names],
+                      "total_wav_dur": 9000 * len(names)},
+            "valid": {"data": [{"filename": n} for n in names[:4]],
+                      "total_wav_dur": 9000 * 4},
+            "test": {"data": [{"filename": n} for n in names[:2]],
+                     "total_wav_dur": 9000 * 2}}
+    cfg_file = str(tmp_path / "data.cfg")
+    with open(cfg_file, "w") as f:
+        json.dump(dcfg, f)
+
+    wk = {"regr": [{"num_outputs": 39, "dropout": 0, "hidden_size": 32,
+                    "hidden_layers": 1, "name": "mfcc", "r": 1,
+                    "loss": "MSELoss", "skip": False}],
+          "cls": [{"num_outputs": 1, "dropout": 0, "hidden_size": 32,
+                   "hidden_layers": 1, "name": "mi",
+                   "loss": "BCEWithLogitsLoss", "skip": False}]}
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    wk_path, fe_path = str(tmp_path / "wk.cfg"), str(tmp_path / "fe.cfg")
+    with open(wk_path, "w") as f:
+        json.dump(wk, f)
+    with open(fe_path, "w") as f:
+        json.dump(fe, f)
+
+    argv = ["--net_cfg", wk_path, "--fe_cfg", fe_path,
+            "--data_root", str(wavdir), "--data_cfg", cfg_file,
+            "--device_corpus", "--shard_device_corpus",
+            "--num_workers", "1",
+            "--batch_size", "16", "--chunk_size", "4800", "--epoch", "1",
+            "--log_freq", "2", "--save_path", str(tmp_path / "ckpt")]
+    opts = train_cli.build_argparser().parse_args(argv)
+    from pase_tpu.trainer import Trainer
+    orig_train = Trainer.train_
+
+    def short_train(self, *a, **k):
+        self.bpe = 2
+        return orig_train(self, *a, **k)
+    Trainer.train_ = short_train
+    try:
+        train_cli.train(opts)
+    finally:
+        Trainer.train_ = orig_train
+    assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")
+    with open(tmp_path / "ckpt" / "metrics.jsonl") as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    tr_rows = [r for r in rows if r.get("split") == "train"]
+    assert tr_rows and all(np.isfinite(r["total"]) for r in tr_rows)
+
+
 def test_train_cli_device_corpus_parallel(corpus, tmp_path):
     """train.py --device_corpus with a parallel clean/noisy tree
     (GenhancementDataset): both trees live in HBM; the batch carries

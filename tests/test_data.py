@@ -569,6 +569,81 @@ def test_device_corpus_parallel_trees(corpus, tmp_path):
         assert ri != i
 
 
+def test_sharded_device_corpus(tmp_path):
+    """Corpus sharded over the mesh data axis (shard_map sampling):
+    every gathered row must exactly equal the host crop of the
+    utterance named by the returned (local id, rel offset); row block d
+    draws only from shard d; ctxt shares the anchor's prefix; rand
+    differs from the anchor; the output batch is laid out in
+    batch_sharding (data-axis) form."""
+    import jax
+    from pase_tpu.parallel.mesh import get_mesh
+    from pase_tpu.data.device_corpus import ShardedDeviceCorpusBatcher
+    from pase_tpu.data.dataset import crop_at
+
+    rng = np.random.RandomState(0)
+    names = []
+    for g in range(16):                       # 16 prefix groups x 2 utts
+        for u in range(2):
+            nm = f"{100 + g}-7-{u:04d}.wav"
+            write_wav(str(tmp_path / nm),
+                      rng.randn(6000).astype(np.float32) * 0.2)
+            names.append(nm)
+    cfg = {"train": {"data": [{"filename": n} for n in names],
+                     "total_wav_dur": 6000 * len(names)}}
+    cfg_p = str(tmp_path / "cfg.json")
+    with open(cfg_p, "w") as f:
+        json.dump(cfg, f)
+    ds = LibriSpeechTupleDataset(str(tmp_path), cfg_p, "train")
+    wavs = {n: read_wav(str(tmp_path / n))[0] for n in names}
+
+    mesh = get_mesh()                          # 8 x 1 CPU mesh
+    D = mesh.shape["data"]
+    t, B = 4000, 16
+    b = ShardedDeviceCorpusBatcher(ds, batch_size=B, chunk_size=t,
+                                   mesh=mesh, seed=2)
+    assert b.n_shards == D
+    # partition: every utterance appears exactly once, groups whole
+    allocated = [n for files in b.shard_names for n in files]
+    assert sorted(allocated) == sorted(names)
+    for files in b.shard_names:
+        fs = set(files)
+        for n in files:
+            pref = ds.rec.sub("", n)
+            assert all(s in fs for s in ds.neighbor_prefixes[pref])
+
+    batch = next(iter(b))
+    ids = np.asarray(jax.device_get(b.last_ids))     # [B, 3]
+    rel = np.asarray(jax.device_get(b.last_rel))     # [B, 3]
+    bl = B // D
+    # output layout: the batch is sharded over all data-axis devices
+    assert len(batch["chunk"].sharding.device_set) == D
+    keys = ("chunk", "chunk_ctxt", "chunk_rand")
+    for j in range(B):
+        d = j // bl                                  # owning shard
+        files = b.shard_names[d]
+        a_n, c_n, r_n = (files[ids[j, k]] for k in range(3))
+        assert ds.rec.sub("", c_n) == ds.rec.sub("", a_n)
+        assert c_n != a_n                            # 2-utt groups
+        assert r_n != a_n
+        for k, nm in enumerate((a_n, c_n, r_n)):
+            want = crop_at(wavs[nm], int(rel[j, k]), t)
+            got = np.asarray(jax.device_get(batch[keys[k]][j]))
+            np.testing.assert_allclose(got, want, atol=1.0 / 32768,
+                                       err_msg=f"row {j} {keys[k]}")
+
+    # too few prefix groups for the mesh -> loud error
+    small = {"train": {"data": [{"filename": n} for n in names[:4]],
+                       "total_wav_dur": 6000 * 4}}
+    small_p = str(tmp_path / "small.json")
+    with open(small_p, "w") as f:
+        json.dump(small, f)
+    ds2 = LibriSpeechTupleDataset(str(tmp_path), small_p, "train")
+    with pytest.raises(ValueError, match="prefix groups"):
+        ShardedDeviceCorpusBatcher(ds2, batch_size=B, chunk_size=t,
+                                   mesh=mesh, seed=2)
+
+
 def test_device_corpus_short_utterance_pad(tmp_path):
     """Utterances shorter than the chunk are padded ONCE at build with
     crop_chunk's reflect-tail semantics."""

@@ -156,3 +156,89 @@ def test_two_process_two_train_steps(tmp_path):
         assert line, out[-2000:]
         losses.append(line[0])
     assert losses[0] == losses[1], losses
+
+
+_SHARDED_CORPUS_WORKER = textwrap.dedent("""
+    import os, sys, json
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    sys.path.insert(0, "@REPO@")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    from pase_tpu.parallel.mesh import init_distributed, get_mesh
+    assert init_distributed("127.0.0.1:" + port, 2, pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.data.dataset import LibriSpeechTupleDataset
+    from pase_tpu.data.device_corpus import ShardedDeviceCorpusBatcher
+
+    droot = "@DROOT@"
+    ds = LibriSpeechTupleDataset(droot, os.path.join(droot, "data.cfg"),
+                                 "train")
+    mesh = get_mesh()                    # 4 global devices, dp over all
+    b = ShardedDeviceCorpusBatcher(ds, batch_size=8, chunk_size=4800,
+                                   mesh=mesh, seed=11)
+    # per-host IO: this process decoded ONLY the shards its 2 local
+    # devices own (2 of the 4) — the corpus never fully lands on one host
+    assert len(b.owned_rows) == 2, b.owned_rows
+    assert b.n_shards == 4
+    frontend = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+                "fmaps": [16, 16, 32, 32], "emb_dim": 32,
+                "norm_out": True}
+    workers = {"regr": [{"num_outputs": 39, "dropout": 0,
+                         "hidden_size": 32, "hidden_layers": 1,
+                         "name": "mfcc", "r": 1, "loss": "MSELoss",
+                         "skip": False}],
+               "cls": [{"num_outputs": 1, "dropout": 0,
+                        "hidden_size": 32, "hidden_layers": 1,
+                        "name": "mi", "loss": "BCEWithLogitsLoss",
+                        "skip": False}]}
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=10,
+               batch_size=8, chunk_size=4800, log_freq=2,
+               save_path="/tmp/pase_mh_sdc_%d" % pid)
+    tr = Trainer(frontend, workers, cfg, mesh=mesh)
+    state = tr.init_state(0)
+    fused = tr.make_fused_feed_step(b.feed_fn)
+    feed = b.feed_state()
+    for i in range(2):
+        state, losses, feed = fused(state, feed)
+    tot = float(jax.device_get(losses["total"]))
+    assert np.isfinite(tot)
+    print("loss=%.10f" % tot, flush=True)
+    print("proc %d ok" % pid, flush=True)
+""").replace("@REPO@", REPO)
+
+
+def test_two_process_sharded_device_corpus(tmp_path):
+    """The SHARDED device corpus across two real processes: each host
+    decodes only its own shards, the fused shard_map feed runs as one
+    multi-controller SPMD program, and both hosts agree bitwise on the
+    global loss after two train steps."""
+    import json
+    from pase_tpu.data.io import write_wav
+
+    rng = np.random.RandomState(9)
+    droot = tmp_path / "corpus"
+    droot.mkdir()
+    names = []
+    for g in range(8):                    # >= 4 prefix groups (data=4)
+        for u in range(2):
+            nm = f"{400 + g}-3-{u:04d}.wav"
+            write_wav(str(droot / nm),
+                      rng.randn(9000).astype(np.float32) * 0.2)
+            names.append(nm)
+    dcfg = {"train": {"data": [{"filename": n} for n in names],
+                      "total_wav_dur": 9000 * len(names)}}
+    with open(droot / "data.cfg", "w") as f:
+        json.dump(dcfg, f)
+
+    script = _SHARDED_CORPUS_WORKER.replace("@DROOT@", str(droot))
+    outs = _run_two_procs(tmp_path, script)
+    losses = []
+    for _, out in outs:
+        line = [l for l in out.splitlines() if l.startswith("loss=")]
+        assert line, out[-2000:]
+        losses.append(line[0])
+    assert losses[0] == losses[1], losses

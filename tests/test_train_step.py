@@ -524,6 +524,47 @@ def test_fused_feed_device_corpus_finite(tmp_path):
     assert not np.array_equal(k0, np.asarray(jax.device_get(feed["key"])))
 
 
+def test_fused_feed_sharded_device_corpus(tmp_path):
+    """Fused feed over the SHARDED device corpus (corpus partitioned
+    over the mesh data axis, shard_map sampling): sub-batches land
+    pre-sharded in batch_sharding layout; two train steps, finite
+    losses."""
+    import os
+    from pase_tpu.data.device_corpus import ShardedDeviceCorpusBatcher
+    from pase_tpu.data.dataset import LibriSpeechTupleDataset
+    from pase_tpu.data.io import write_wav
+
+    rng = np.random.RandomState(2)
+    names = []
+    for g in range(16):
+        for u in range(2):
+            nm = f"{200 + g}-5-{u:04d}.wav"
+            write_wav(str(tmp_path / nm),
+                      rng.randn(9000).astype(np.float32) * 0.2)
+            names.append(nm)
+    dcfg = {"train": {"data": [{"filename": n} for n in names],
+                      "total_wav_dur": 9000 * len(names)}}
+    cfg_p = str(tmp_path / "cfg.json")
+    with open(cfg_p, "w") as f:
+        json.dump(dcfg, f)
+    ds = LibriSpeechTupleDataset(str(tmp_path), cfg_p, "train")
+    mesh = get_mesh()
+    b = ShardedDeviceCorpusBatcher(ds, batch_size=16, chunk_size=4800,
+                                   mesh=mesh, seed=3)
+
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=10,
+               batch_size=16, chunk_size=4800, log_freq=1000,
+               save_path="/tmp/pase_fused_sdc")
+    tr = Trainer(SMALL_FRONTEND, SMALL_WORKERS, cfg, mesh=mesh)
+    state = tr.init_state(0)
+    fused = tr.make_fused_feed_step(b.feed_fn)
+    feed = b.feed_state()
+    for _ in range(2):
+        state, losses, feed = fused(state, feed)
+        l = jax.device_get(losses)
+        assert all(np.isfinite(float(v)) for v in l.values()), l
+
+
 def test_fused_feed_parallel_device_corpus(tmp_path):
     """Fused feed over a PARALLEL (clean/noisy) device corpus: the
     in-graph batch carries cchunk from the clean HBM buffer; two steps,

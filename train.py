@@ -100,6 +100,12 @@ def build_argparser():
                         "gather crops on device (host ships only "
                         "indices; kills the H2D bottleneck; "
                         "single-tree corpora up to ~37 h/process)")
+    p.add_argument("--shard_device_corpus", action="store_true",
+                   default=False,
+                   help="with --device_corpus: SHARD the corpus over "
+                        "the mesh's data axis (shard_map sampling; "
+                        "capacity scales linearly with chips, no "
+                        "buffer broadcast)")
     p.add_argument("--wire_dtype", type=str, default="float32",
                    choices=["float32", "int16"],
                    help="int16 ships waveform batches on the PCM16 grid "
@@ -195,9 +201,11 @@ def build_distortions(opts, chunk_size):
 
 def train(opts):
     # persistent compile cache: the full train-step graph is minutes of
-    # (remote) XLA compile; cache it so restarts/resumes pay seconds
+    # (remote) XLA compile; cache it so restarts/resumes pay seconds.
+    # NOTE: importing jax here does NOT initialize the backend — config
+    # updates and process_count checks below stay pre-init safe.
+    import jax
     if opts.jax_cache_dir:
-        import jax
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser(opts.jax_cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
@@ -214,7 +222,6 @@ def train(opts):
     from pase_tpu.data.pipeline import load_stats_pkl
     local_bs = opts.batch_size
     if multihost:
-        import jax
         sl = host_batch_slice(opts.batch_size)
         local_bs = sl.stop - sl.start
         print(f"multihost: process {jax.process_index()}/"
@@ -225,6 +232,14 @@ def train(opts):
         fe_cfg = json.load(f)
     with open(opts.net_cfg) as f:
         wk_cfg = json.load(f)
+
+    mesh = None
+    if opts.n_model > 1 or opts.shard_device_corpus:
+        from pase_tpu.parallel.mesh import get_mesh
+        mesh = get_mesh(n_model=opts.n_model)
+        print(f"mesh: {dict(mesh.shape)} (data x model)")
+    if opts.shard_device_corpus and not opts.device_corpus:
+        raise ValueError("--shard_device_corpus requires --device_corpus")
 
     # per-host seeds keep multi-host sampling disjoint
     seed0 = opts.seed + (0 if not multihost else 1000 * sl.start)
@@ -320,20 +335,35 @@ def train(opts):
                     "clean/noisy tree (GenhancementDataset / AMI tree "
                     "mode — channel-key --ihm2sdm stays on the host "
                     "path); no MetaConcat / --cache_feats_dir")
-            if jax.process_count() > 1:
-                # the fused device feed is single-process only; falling
-                # through to the staged path would device_get every
-                # HBM-gathered batch back to the host and re-upload it —
-                # reinstating the exact H2D bottleneck --device_corpus
-                # exists to remove (trainer.py fused-feed gate)
+            if jax.process_count() > 1 and not opts.shard_device_corpus:
+                # the single-buffer fused feed is single-process only;
+                # falling through to the staged path would device_get
+                # every HBM-gathered batch back to the host and
+                # re-upload it — reinstating the exact H2D bottleneck
+                # --device_corpus exists to remove (trainer.py gate)
                 raise ValueError(
-                    "--device_corpus is single-process only for now; "
-                    "multi-host runs should use --wire_dtype int16 "
-                    "(halves the per-step H2D bytes) instead")
-            from pase_tpu.data.device_corpus import DeviceCorpusBatcher
-            batcher = DeviceCorpusBatcher(ds, local_bs, opts.chunk_size,
-                                          seed=seed0)
-            print(f"Device corpus: {batcher.buf_gb:.2f} GB int16 in HBM")
+                    "single-buffer --device_corpus is single-process "
+                    "only; multi-host runs use --shard_device_corpus "
+                    "(corpus sharded over the pod, per-host IO) or "
+                    "--wire_dtype int16")
+            from pase_tpu.data.device_corpus import (
+                DeviceCorpusBatcher, ShardedDeviceCorpusBatcher)
+            if opts.shard_device_corpus:
+                # corpus sharded over the mesh's data axis: capacity
+                # scales with chips, sub-batches land pre-sharded.
+                # GLOBAL batch + base seed: the seeded partition and
+                # the feed PRNG must agree across processes (each host
+                # decodes only the shards its devices own)
+                batcher = ShardedDeviceCorpusBatcher(
+                    ds, opts.batch_size, opts.chunk_size, mesh=mesh,
+                    seed=opts.seed)
+                print(f"Sharded device corpus: {batcher.buf_gb:.2f} GB "
+                      f"int16 over {batcher.n_shards} shards")
+            else:
+                batcher = DeviceCorpusBatcher(ds, local_bs,
+                                              opts.chunk_size, seed=seed0)
+                print(f"Device corpus: {batcher.buf_gb:.2f} GB int16 "
+                      "in HBM")
         else:
             batcher = batcher_cls(ds, local_bs, opts.chunk_size,
                                   seed=seed0)
@@ -350,9 +380,21 @@ def train(opts):
         if opts.device_corpus:
             # eval from HBM too (the valid split is small; avoids the
             # host wire for the once-per-epoch eval pass)
-            va_batcher = DeviceCorpusBatcher(va_ds, local_bs,
-                                             opts.chunk_size,
-                                             seed=seed0 + 1)
+            if opts.shard_device_corpus:
+                try:
+                    va_batcher = ShardedDeviceCorpusBatcher(
+                        va_ds, opts.batch_size, opts.chunk_size,
+                        mesh=mesh, seed=opts.seed + 1)
+                except ValueError:
+                    if jax.process_count() > 1:
+                        raise   # eval must stay a global SPMD program
+                    # valid split too small to shard: single buffer
+                    va_batcher = DeviceCorpusBatcher(
+                        va_ds, local_bs, opts.chunk_size, seed=seed0 + 1)
+            else:
+                va_batcher = DeviceCorpusBatcher(va_ds, local_bs,
+                                                 opts.chunk_size,
+                                                 seed=seed0 + 1)
         else:
             va_batcher = batcher_cls(va_ds, local_bs, opts.chunk_size,
                                      seed=seed0 + 1)
@@ -381,11 +423,6 @@ def train(opts):
                random_scale=str2bool(opts.random_scale),
                ckpt_continue=not str2bool(opts.no_continue))
     gan_cfg = json.loads(opts.gan_cfg) if opts.gan_cfg else None
-    mesh = None
-    if opts.n_model > 1:
-        from pase_tpu.parallel.mesh import get_mesh
-        mesh = get_mesh(n_model=opts.n_model)
-        print(f"mesh: {dict(mesh.shape)} (data x model)")
     tr = Trainer(fe_cfg, wk_cfg, cfg, stats=stats, dist_cfg=dist_cfg,
                  dist_assets=dist_assets, gan_cfg=gan_cfg, mesh=mesh)
     tr.train_(batcher, va_batcher, resume=cfg["ckpt_continue"])
