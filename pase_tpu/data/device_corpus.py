@@ -147,8 +147,8 @@ class DeviceCorpusBatcher:
         if pos >= 1 << 31:
             raise ValueError(
                 f"device corpus is {pos} samples (> 2^31, the int32 "
-                "gather-index cap, ~37 h at 16 kHz); split the corpus "
-                "across hosts (per-host data_cfg) for --device_corpus")
+                "gather-index cap, ~37 h at 16 kHz); use "
+                "--shard_device_corpus to partition it over the mesh")
         buf = np.concatenate(parts)
         parts.clear()
         self.offsets, self.lengths = offsets, lengths
@@ -437,11 +437,17 @@ class ShardedDeviceCorpusBatcher:
         import os as _os
         from pase_tpu.data.io import wav_len
 
-        def gsize(g):
-            return sum(max(wav_len(_os.path.join(dataset.data_root, f)),
-                           chunk_size) for f in g)
+        hdr_len = {}                       # one header read per file
 
-        sizes = [gsize(g) for g in glist]
+        def _hlen(f):
+            n = hdr_len.get(f)
+            if n is None:
+                n = hdr_len[f] = max(
+                    wav_len(_os.path.join(dataset.data_root, f)),
+                    chunk_size)
+            return n
+
+        sizes = [sum(_hlen(f) for f in g) for g in glist]
         order = np.argsort(sizes)[::-1]
         shard_files = [[] for _ in range(D)]
         shard_load = np.zeros(D, dtype=np.int64)
@@ -470,8 +476,7 @@ class ShardedDeviceCorpusBatcher:
             pos_of = {f: i for i, f in enumerate(files)}
             p = 0
             for i, f in enumerate(files):
-                n = max(wav_len(_os.path.join(dataset.data_root, f)),
-                        chunk_size)
+                n = _hlen(f)
                 offs[d, i], lens[d, i] = p, n
                 p += n
                 prefix = dataset.rec.sub("", f)

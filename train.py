@@ -385,9 +385,13 @@ def train(opts):
                     va_batcher = ShardedDeviceCorpusBatcher(
                         va_ds, opts.batch_size, opts.chunk_size,
                         mesh=mesh, seed=opts.seed + 1)
-                except ValueError:
-                    if jax.process_count() > 1:
-                        raise   # eval must stay a global SPMD program
+                except ValueError as e:
+                    # ONLY the too-few-prefix-groups case falls back;
+                    # any other build error (header/decode mismatch,
+                    # per-shard 2^31 cap) must stay loud
+                    if "prefix groups" not in str(e) or \
+                            jax.process_count() > 1:
+                        raise
                     # valid split too small to shard: single buffer
                     va_batcher = DeviceCorpusBatcher(
                         va_ds, local_bs, opts.chunk_size, seed=seed0 + 1)
