@@ -376,8 +376,14 @@ class ShardedDeviceCorpusBatcher:
       * chunk_rand draws a random OTHER utterance within the same
         shard (the partition is random, so within-shard "other" is an
         unbiased sample of "other" overall);
-      * zero-speech injection and parallel clean/noisy trees are not
-        supported (single-buffer / host paths cover those).
+      * zero-speech injection is not supported (single-buffer / host
+        paths cover it).
+
+    Parallel clean/noisy corpora (``dataset.parallel``) shard BOTH
+    trees: a second clean row-buffer per device, chunk/cchunk at one
+    shared window, ctxt an independent clean crop of the same
+    utterance, rand from the noisy tree (single-buffer parallel
+    semantics).
 
     MULTI-PROCESS (DCN) capable: the shard layout is computed from wav
     HEADER lengths on every process identically; each process decodes
@@ -398,9 +404,7 @@ class ShardedDeviceCorpusBatcher:
         from jax import shard_map
         from pase_tpu.data.dataset import crop_at
 
-        if getattr(dataset, "parallel", False):
-            raise ValueError("sharded device corpus does not support "
-                             "parallel clean/noisy trees yet")
+        self.parallel = bool(getattr(dataset, "parallel", False))
         if getattr(dataset, "zero_speech_p", 0.0) > 0:
             raise ValueError("sharded device corpus does not support "
                              "zero-speech injection")
@@ -496,6 +500,29 @@ class ShardedDeviceCorpusBatcher:
         self.n_utts = nut.copy()
         self.buf_gb = D * L * 2 / 1e9
 
+        coffs = clens = None
+        if self.parallel:
+            # clean-tree layout from the clean root's headers
+            coffs = np.zeros((D, U), np.int32)
+            clens = np.zeros((D, U), np.int32)
+            ctotals = np.zeros(D, np.int64)
+            for d, files in enumerate(shard_files):
+                p = 0
+                for i, f in enumerate(files):
+                    n = max(wav_len(_os.path.join(dataset.clean_root, f)),
+                            chunk_size)
+                    coffs[d, i], clens[d, i] = p, n
+                    p += n
+                if p >= 1 << 31:
+                    raise ValueError(
+                        f"one CLEAN corpus shard is {p} samples "
+                        "(> 2^31 int32 cap); increase the mesh data "
+                        "axis")
+                ctotals[d] = p
+            cL = int(max(ctotals.max(), 1))
+            self.coffsets, self.clengths = coffs.copy(), clens.copy()
+            self.buf_gb += D * cL * 2 / 1e9
+
         # ---- decode + pack ONLY the shards this process owns ---------------
         bsh = NamedSharding(mesh, P("data", None))
         owned = sorted({idx[0].indices(D)[0]
@@ -503,22 +530,29 @@ class ShardedDeviceCorpusBatcher:
                         bsh.addressable_devices_indices_map(
                             (D, L)).items()})
         self.owned_rows = list(owned)     # shards THIS process decoded
-        row_np = {}
-        for d in owned:
-            row = np.zeros(L, np.int16)
-            for i, f in enumerate(shard_files[d]):
-                wav = dataset._load(f)
-                if len(wav) < chunk_size:
-                    wav = crop_at(wav, 0, chunk_size)
-                dataset.wav_cache.pop(f, None)
-                pcm = np.clip(wav * 32768.0, -32768,
-                              32767).astype(np.int16)
-                if len(pcm) != lens[d, i]:
-                    raise ValueError(
-                        f"{f}: decoded {len(pcm)} samples but the "
-                        f"header said {lens[d, i]}")
-                row[offs[d, i]:offs[d, i] + len(pcm)] = pcm
-            row_np[d] = row
+
+        def pack_rows(load, length_of, offset_of, row_len, cache_prefix):
+            rows = {}
+            for d in owned:
+                row = np.zeros(row_len, np.int16)
+                for i, f in enumerate(shard_files[d]):
+                    wav = load(f)
+                    if len(wav) < chunk_size:
+                        wav = crop_at(wav, 0, chunk_size)
+                    dataset.wav_cache.pop(cache_prefix + f, None)
+                    pcm = np.clip(wav * 32768.0, -32768,
+                                  32767).astype(np.int16)
+                    if len(pcm) != length_of[d, i]:
+                        raise ValueError(
+                            f"{f}: decoded {len(pcm)} samples but the "
+                            f"header said {length_of[d, i]}")
+                    row[offset_of[d, i]:offset_of[d, i] + len(pcm)] = pcm
+                rows[d] = row
+            return rows
+
+        row_np = pack_rows(dataset._load, lens, offs, L, "")
+        crow_np = (pack_rows(dataset._load_clean, clens, coffs, cL,
+                             "clean::") if self.parallel else None)
 
         def put(source, spec, shape, dtype):
             """Assemble a global array from per-device blocks — only
@@ -534,24 +568,40 @@ class ShardedDeviceCorpusBatcher:
             return jax.make_array_from_single_device_arrays(
                 shape, sh, pieces)
 
-        def rows_of(idx):
-            r0, r1, _ = idx[0].indices(D)
-            return np.stack([row_np[d] for d in range(r0, r1)])
+        def rows_of(rows):
+            def get(idx):
+                r0, r1, _ = idx[0].indices(D)
+                return np.stack([rows[d] for d in range(r0, r1)])
+            return get
 
         key0 = np.asarray(jax.random.PRNGKey(seed + 77))
         self._fs0 = {
-            "buf": put(rows_of, P("data", None), (D, L), np.int16),
+            "buf": put(rows_of(row_np), P("data", None), (D, L),
+                       np.int16),
             "offs": put(lambda i: offs[i], P("data", None), (D, U),
                         np.int32),
             "lens": put(lambda i: lens[i], P("data", None), (D, U),
                         np.int32),
-            "nb": put(lambda i: nb[i], P("data", None, None), (D, U, NB),
-                      np.int32),
-            "cnt": put(lambda i: cnt[i], P("data", None), (D, U),
-                       np.int32),
             "nut": put(lambda i: nut[i], P("data"), (D,), np.int32),
             "key": put(lambda i: key0[i], P(), key0.shape, key0.dtype),
         }
+        if self.parallel:
+            self._fs0.update({
+                "cbuf": put(rows_of(crow_np), P("data", None), (D, cL),
+                            np.int16),
+                "coffs": put(lambda i: coffs[i], P("data", None),
+                             (D, U), np.int32),
+                "clens": put(lambda i: clens[i], P("data", None),
+                             (D, U), np.int32),
+            })
+            crow_np.clear()
+        else:
+            self._fs0.update({
+                "nb": put(lambda i: nb[i], P("data", None, None),
+                          (D, U, NB), np.int32),
+                "cnt": put(lambda i: cnt[i], P("data", None), (D, U),
+                           np.int32),
+            })
         row_np.clear()
 
         def block(buf, offs, lens, nb, cnt, nut, key):
@@ -590,8 +640,62 @@ class ShardedDeviceCorpusBatcher:
                        P("data", None), P("data", None),
                        P("data", None)))
 
+        def block_par(buf, cbuf, offs, lens, coffs, clens, nut, key):
+            """Parallel per-shard sample + gather: chunk/cchunk share
+            one window; ctxt is an independent CLEAN crop of the same
+            utterance; rand is a noisy OTHER utterance."""
+            d = jax.lax.axis_index("data")
+            k = jax.random.fold_in(key, d)
+            buf0, cbuf0 = buf[0], cbuf[0]
+            offs0, lens0 = offs[0], lens[0]
+            coffs0, clens0, n0 = coffs[0], clens[0], nut[0]
+            ks = jax.random.split(k, 3)
+            idx = jax.random.randint(ks[0], (bl,), 0, n0)
+            # one shared window, valid in both trees
+            span = jnp.maximum(
+                jnp.minimum(lens0[idx], clens0[idx]) - t, 0)
+            r = jax.random.randint(ks[1], (bl, 2), 0, 1 << 30)
+            rel = jnp.where(span > 0, r[:, 0] % (span + 1), 0)
+            cspan = jnp.maximum(clens0[idx] - t, 0)
+            crel = jnp.where(cspan > 0, r[:, 1] % (cspan + 1), 0)
+            rr = jax.random.randint(ks[2], (bl, 2), 0, 1 << 30)
+            rnd = rr[:, 0] % jnp.maximum(n0 - 1, 1)
+            rand = jnp.where(rnd >= idx, rnd + 1, rnd)
+            rand = jnp.where(n0 > 1, rand, jnp.zeros_like(rand))
+            rspan = jnp.maximum(lens0[rand] - t, 0)
+            rrel = jnp.where(rspan > 0, rr[:, 1] % (rspan + 1), 0)
+
+            def slc(bf, starts):
+                return jax.vmap(lambda s: jax.lax.dynamic_slice(
+                    bf, (s,), (t,)))(starts)
+
+            rows = jnp.concatenate([
+                slc(buf0, offs0[idx] + rel),
+                slc(cbuf0, coffs0[idx] + rel),
+                slc(cbuf0, coffs0[idx] + crel),
+                slc(buf0, offs0[rand] + rrel)])
+            rows = rows.astype(jnp.float32) / 32768.0
+            ids = jnp.stack([idx, idx, rand], axis=1)       # [bl, 3]
+            rels = jnp.stack([rel, crel, rrel], axis=1)     # [bl, 3]
+            return (rows[:bl], rows[bl:2 * bl], rows[2 * bl:3 * bl],
+                    rows[3 * bl:], ids.astype(jnp.int32),
+                    rels.astype(jnp.int32))
+
+        self._smapped_par = shard_map(
+            block_par, mesh=mesh,
+            in_specs=(P("data", None), P("data", None), P("data", None),
+                      P("data", None), P("data", None), P("data", None),
+                      P("data"), P()),
+            out_specs=tuple(P("data", None) for _ in range(6)))
+
         def step_fs(fs):
             key, sub = jax.random.split(fs["key"])
+            if self.parallel:
+                c, cc, x, r, ids, rel = self._smapped_par(
+                    fs["buf"], fs["cbuf"], fs["offs"], fs["lens"],
+                    fs["coffs"], fs["clens"], fs["nut"], sub)
+                return ({"chunk": c, "cchunk": cc, "chunk_ctxt": x,
+                         "chunk_rand": r}, dict(fs, key=key), ids, rel)
             c, x, r, ids, rel = self._smapped(
                 fs["buf"], fs["offs"], fs["lens"], fs["nb"], fs["cnt"],
                 fs["nut"], sub)

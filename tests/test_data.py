@@ -644,6 +644,71 @@ def test_sharded_device_corpus(tmp_path):
                                    mesh=mesh, seed=2)
 
 
+def test_sharded_device_corpus_parallel(tmp_path):
+    """Sharded PARALLEL (clean/noisy) corpus: both trees sharded over
+    the mesh; chunk/cchunk share one window (verified exactly via the
+    returned ids/rels), ctxt is an independent clean crop of the same
+    utterance, rand is a noisy other."""
+    import jax
+    from pase_tpu.parallel.mesh import get_mesh
+    from pase_tpu.data.device_corpus import ShardedDeviceCorpusBatcher
+    from pase_tpu.data.dataset import GenhancementDataset, crop_at
+
+    rng = np.random.RandomState(6)
+    noisy = tmp_path / "noisy"
+    clean = tmp_path / "clean"
+    noisy.mkdir()
+    clean.mkdir()
+    names = []
+    for g in range(16):
+        for u in range(2):
+            nm = f"{500 + g}-2-{u:04d}.wav"
+            # keep |w + 0.125| < 1: write_wav clips, which would break
+            # the constant noisy-clean offset at extreme samples
+            w = rng.randn(6000).astype(np.float32) * 0.1
+            write_wav(str(clean / nm), w)
+            write_wav(str(noisy / nm), w + 0.125)
+            names.append(nm)
+    cfg = {"train": {"data": [{"filename": n} for n in names],
+                     "total_wav_dur": 6000 * len(names)}}
+    cfg_p = str(tmp_path / "cfg.json")
+    with open(cfg_p, "w") as f:
+        json.dump(cfg, f)
+    ds = GenhancementDataset(str(noisy), str(clean), cfg_p, "train")
+    nwavs = {n: read_wav(str(noisy / n))[0] for n in names}
+    cwavs = {n: read_wav(str(clean / n))[0] for n in names}
+
+    mesh = get_mesh()
+    D = mesh.shape["data"]
+    t, B = 4000, 16
+    b = ShardedDeviceCorpusBatcher(ds, batch_size=B, chunk_size=t,
+                                   mesh=mesh, seed=5)
+    assert b.parallel
+    batch = next(iter(b))
+    assert set(batch) == {"chunk", "cchunk", "chunk_ctxt", "chunk_rand"}
+    ids = np.asarray(jax.device_get(b.last_ids))    # [B, 3]
+    rel = np.asarray(jax.device_get(b.last_rel))    # [B, 3]
+    bl = B // D
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(batch["chunk"]))
+        - np.asarray(jax.device_get(batch["cchunk"])), 0.125, atol=2e-4)
+    for j in range(B):
+        d = j // bl
+        files = b.shard_names[d]
+        a_n, c_n, r_n = (files[ids[j, k]] for k in range(3))
+        assert c_n == a_n                     # cchunk/ctxt: same utt
+        assert r_n != a_n                     # rand: other utt
+        checks = [("chunk", nwavs[a_n], rel[j, 0]),
+                  ("cchunk", cwavs[a_n], rel[j, 0]),   # SHARED window
+                  ("chunk_ctxt", cwavs[a_n], rel[j, 1]),
+                  ("chunk_rand", nwavs[r_n], rel[j, 2])]
+        for key, wav, r0 in checks:
+            want = crop_at(wav, int(r0), t)
+            got = np.asarray(jax.device_get(batch[key][j]))
+            np.testing.assert_allclose(got, want, atol=1.0 / 32768,
+                                       err_msg=f"row {j} {key}")
+
+
 def test_device_corpus_short_utterance_pad(tmp_path):
     """Utterances shorter than the chunk are padded ONCE at build with
     crop_chunk's reflect-tail semantics."""
