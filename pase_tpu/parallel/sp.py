@@ -1,0 +1,234 @@
+"""Sequence-parallel (time-sharded) WaveFe encoder forward.
+
+SURVEY.md §5.7 names this as the TPU lever beyond the reference's
+whole-utterance inference (run_TIMIT_full_decoding.py:147-155 forwards
+entire utterances on one device): the PASE trunk is convs with a
+bounded receptive field plus ONE first-order linear recurrence (the
+window-2 QRNN, ops/qrnn.py), so arbitrarily long utterances can be
+encoded with the TIME axis sharded over the mesh — each device holds
+1/D of the waveform and the only cross-device traffic is one
+[B, H] carry composition per QRNN layer plus one [B, H] boundary frame
+per extra layer.
+
+Scheme (exact up to float reassociation):
+  * every shard gets a FIXED-size window ``E = T/D + 2*H`` of the
+    waveform, positioned with clamping so the first/last windows end at
+    the true sequence edges (their reflect pads then reproduce the
+    offline edge behavior exactly); ``H`` covers the trunk's total
+    receptive extent, so the kept interior frames are pad-free;
+  * the conv trunk + dense-skip taps + QRNN GATES are computed on the
+    extended window and the kept frames extracted (windows start on
+    multiples of the total stride, so frame grids align globally);
+  * the QRNN ForgetMult ``c_t = (1-f_t) c_{t-1} + f_t z_t`` is a linear
+    recurrence: each shard scans its kept frames for per-frame
+    composition elements ``(A_t, B_t)`` (``c_t = A_t c_in + B_t``), the
+    per-shard totals are all-gathered and prefix-composed to give each
+    shard its incoming carry, and local states are corrected in closed
+    form — a classic two-level (Blelloch) scan over the device axis;
+  * W projection / dense-skip fusion / norm_out (bnorm) / tanh / VQ are
+    frame-local.
+
+Not supported (raise): resblocks trunks, rnn_type != qrnn,
+InstanceNorm norm_out (normalizes over the WHOLE utterance — no
+sharded form is exact), GRU/LSTM context layers.
+
+Like streaming.py, this module mirrors WaveFe.__call__ out of the same
+building blocks and must track any change to its pad/conv/QRNN
+semantics (tests/test_sequence_parallel.py pins equality).
+"""
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pase_tpu.ops.qrnn import _fm_combine
+
+__all__ = ["encode_time_sharded", "time_shard_halo"]
+
+
+def time_shard_halo(module) -> int:
+    """Trunk receptive extent in samples, rounded up to the total
+    stride R (+ one extra R of slack for the asymmetric SAME pads)."""
+    ext = 0
+    cum = 1
+    for kw, st, dil in zip(module.kwidths, module.strides,
+                           module.dilations):
+        k = kw + 1 if (module.sincnet and cum == 1 and kw % 2 == 0) \
+            else kw
+        ext += (k - 1) * dil * cum
+        cum *= st
+    R = int(np.prod(module.strides))
+    return ((ext + R - 1) // R + 1) * R
+
+
+def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
+    """WaveFe forward with the TIME axis sharded over ``mesh[axis]``.
+
+    Args:
+      encoder: a ``pase_tpu.frontend.Encoder`` (init'd / loaded).
+      wav: [B, T] float32 waveform, T divisible by D * 160.
+      mesh: jax.sharding.Mesh with axis ``axis`` of size D.
+    Returns:
+      [B, T//160, emb] features (NTC), numerically equal to
+      ``encoder.module.apply(vars, wav, train=False)``.
+    """
+    from pase_tpu.frontend import WaveFe, pool_to, fuse_skip
+    from pase_tpu.nn import FeBlock
+    from pase_tpu.precision import get_compute_dtype
+
+    module = encoder.module
+    variables = encoder.variables
+    if not isinstance(module, WaveFe):
+        raise TypeError("encode_time_sharded supports the WaveFe trunk "
+                        f"(got {type(module).__name__})")
+    if module.resblocks:
+        raise NotImplementedError("time-sharded resblocks trunk not "
+                                  "implemented (use the offline path)")
+    if module.rnn_pool and module.rnn_type != "qrnn":
+        raise NotImplementedError(
+            f"time-sharded rnn_type={module.rnn_type!r} not implemented")
+    if module.norm_out and module.norm_type != "bnorm":
+        raise NotImplementedError(
+            "InstanceNorm norm_out normalizes over the whole utterance; "
+            "no exact time-sharded form")
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    D = int(mesh.shape[axis])
+    R = int(np.prod(module.strides))
+    Bsz, T = wav.shape
+    if T % (D * R):
+        raise ValueError(f"T={T} must divide by D*R={D * R}")
+    Tl = T // D
+    H = time_shard_halo(module)
+    E = Tl + 2 * H
+    if E > T:
+        raise ValueError(
+            f"utterance too short to time-shard: need T >= T/D + 2*{H} "
+            f"(got T={T}, D={D}); use the offline encoder")
+    # static per-shard window starts, clamped so edge windows end at the
+    # true sequence edges (all multiples of R — frame grids align)
+    starts = np.clip([s * Tl - H for s in range(D)], 0, T - E)
+    starts = jnp.asarray(starts, jnp.int32)
+    Fl, Fe = Tl // R, E // R
+
+    nblocks = len(module.kwidths)
+    blocks = []
+    for i, (kw, st, dil, fm) in enumerate(zip(
+            module.kwidths, module.strides, module.dilations,
+            module.fmaps)):
+        blk = FeBlock(fmaps=fm, kwidth=kw, stride=st, dilation=dil,
+                      pad_mode=module.pad_mode, act=module.activation,
+                      norm_type=module.norm_type,
+                      sincnet=module.sincnet and i == 0, sr=module.sr)
+        sub = {"params": params[f"blocks_{i}"]}
+        if f"blocks_{i}" in bstats:
+            sub["batch_stats"] = bstats[f"blocks_{i}"]
+        blocks.append((blk, sub))
+
+    rnn_dim = module.rnn_dim if module.rnn_dim is not None \
+        else module.emb_dim
+    cd = get_compute_dtype()
+
+    def dense(h, li):
+        """QRNN layer dense over [x_t, x_{t-1}], mirroring nn.QRNN
+        (nn.Dense(dtype=cd) then f32 pooling)."""
+        w = params["rnn"][f"layers_{li}_linear"]
+        k, b = w["kernel"], w["bias"]
+        hin = h.astype(cd) if cd is not None else h
+        y = hin @ k.astype(hin.dtype) + b.astype(hin.dtype)
+        return y.astype(jnp.float32)
+
+    def shift_right_local(h):
+        return jnp.pad(h, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+
+    def qrnn_carry_fix(y3):
+        """Kept-frame gates [B, Fl, 3H] -> corrected hidden [B, Fl, H]
+        via the two-level scan over the device axis."""
+        z, f, o = jnp.split(y3, 3, axis=-1)
+        z = jnp.tanh(z)
+        f = jax.nn.sigmoid(f)
+        a, b = 1.0 - f, f * z
+        A, Bc = jax.lax.associative_scan(_fm_combine, (a, b), axis=1)
+        # incoming carry: exclusive prefix composition of the shard
+        # totals (c_in for shard s = compose of shards < s applied to 0)
+        allA = jax.lax.all_gather(A[:, -1], axis)      # [D, B, H]
+        allB = jax.lax.all_gather(Bc[:, -1], axis)
+
+        def step(c, ab):
+            a_s, b_s = ab
+            return a_s * c + b_s, c                     # emit EXCLUSIVE
+
+        _, prefix = jax.lax.scan(step, jnp.zeros_like(allB[0]),
+                                 (allA, allB))          # [D, B, H]
+        c_in = prefix[jax.lax.axis_index(axis)]
+        c = A * c_in[:, None] + Bc
+        return jax.nn.sigmoid(o) * c
+
+    def block_fn(wav_full):
+        s = jax.lax.axis_index(axis)
+        start = starts[s]
+        xw = jax.lax.dynamic_slice(wav_full, (0, start), (Bsz, E))
+        of = (s * Tl - start) // R          # kept-frame offset (traced)
+
+        def kept(arr):
+            # extract the Fl kept frames at the final rate
+            return jax.lax.dynamic_slice_in_dim(arr, of, Fl, axis=1)
+
+        h = xw[..., None]
+        taps = []
+        for i, (blk, sub) in enumerate(blocks):
+            h = blk.apply(sub, h, train=False)
+            if module.denseskips and (i + 1) < nblocks:
+                taps.append(h)
+
+        if module.rnn_pool:
+            # layer 1 gates on the EXTENDED window (shift_right is then
+            # exact for every kept frame incl. the global t=0), then
+            # kept-frame extraction + cross-shard carry fix
+            y3 = kept(dense(jnp.concatenate(
+                [h, shift_right_local(h)], axis=-1), 0))
+            h = qrnn_carry_fix(y3)
+            for li in range(1, module.rnn_layers):
+                # deeper layers see only corrected kept frames: the
+                # boundary x_{t-1} travels by ppermute (shard 0 gets 0)
+                prev_last = jax.lax.ppermute(
+                    h[:, -1], axis, [(d, d + 1) for d in range(D - 1)])
+                xm1 = jnp.concatenate([prev_last[:, None], h[:, :-1]],
+                                      axis=1)
+                y3 = dense(jnp.concatenate([h, xm1], axis=-1), li)
+                h = qrnn_carry_fix(y3)
+        else:
+            h = kept(h)
+
+        wk = params["W"]
+        y = h @ wk["kernel"][0] + wk["bias"]
+        for i, tap in enumerate(taps):
+            pooled = kept(pool_to(tap, Fe))
+            proj = pooled @ params[f"denseskips_{i}"]["kernel"][0]
+            y = fuse_skip(y, proj, module.densemerge)
+        if module.norm_out:                          # bnorm, eval form
+            st = bstats["norm_out"]
+            y = (y - st["mean"]) / jnp.sqrt(st["var"] + 1e-5)
+        if module.tanh_out:
+            y = jnp.tanh(y)
+        if module.vq_K is not None and module.vq_K > 0:
+            # eval-path VQ: nearest codebook entry per frame (the
+            # straight-through add is the identity in a forward pass)
+            e = bstats["quantizer"]["emb"]
+            flat = y.reshape(-1, y.shape[-1])
+            d2 = (jnp.sum(flat ** 2, axis=1, keepdims=True)
+                  + jnp.sum(e ** 2, axis=1) - 2.0 * flat @ e.T)
+            y = e[jnp.argmin(d2, axis=1)].reshape(y.shape)
+        return y
+
+    smapped = jax.shard_map(
+        block_fn, mesh=mesh,
+        in_specs=(P(),),                      # waveform replicated
+        out_specs=P(None, axis, None))        # frames sharded over time
+    wav = jax.device_put(wav, NamedSharding(mesh, P()))
+    return smapped(wav)

@@ -1,0 +1,75 @@
+"""Sequence-parallel (time-sharded) encoder forward: the full PASE+
+frontend with the TIME axis sharded over the 8-device mesh must equal
+the offline whole-utterance forward (pase_tpu/parallel/sp.py — the
+SURVEY §5.7 long-context lever; the conv trunk shards with halos, the
+QRNN carry composes across devices as a two-level scan)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from pase_tpu.frontend import wf_builder
+from pase_tpu.parallel.mesh import get_mesh
+from pase_tpu.parallel.sp import encode_time_sharded, time_shard_halo
+
+
+def _forward_offline(enc, wav):
+    return np.asarray(jax.device_get(
+        enc.module.apply(enc.variables, wav, train=False)))
+
+
+def test_time_sharded_equals_offline_pase_plus():
+    enc = wf_builder("cfg/frontend/PASE+.cfg")
+    enc.init()
+    mesh = get_mesh()
+    D = mesh.shape["data"]
+    H = time_shard_halo(enc.module)
+    assert H % 160 == 0
+    T = D * 4800                       # 2.4 s, Tl=4800 > 2H/(D-1)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, T).astype(np.float32) * 0.2
+
+    ref = _forward_offline(enc, wav)
+    got = np.asarray(jax.device_get(
+        encode_time_sharded(enc, wav, mesh)))
+    assert got.shape == ref.shape == (2, T // 160, 256)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_time_sharded_multi_layer_qrnn(tmp_path):
+    """rnn_layers=2 exercises the cross-shard boundary-frame ppermute
+    for deeper QRNN layers."""
+    cfg = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+           "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True,
+           "rnn_pool": True, "rnn_dim": 32, "rnn_layers": 2,
+           "qrnn_impl": "scan", "denseskips": True}
+    p = tmp_path / "fe.cfg"
+    p.write_text(json.dumps(cfg))
+    enc = wf_builder(str(p))
+    enc.init()
+    mesh = get_mesh()
+    D = mesh.shape["data"]
+    T = D * 3200
+    rng = np.random.RandomState(1)
+    wav = rng.randn(1, T).astype(np.float32) * 0.2
+
+    ref = _forward_offline(enc, wav)
+    got = np.asarray(jax.device_get(
+        encode_time_sharded(enc, wav, mesh)))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_time_sharded_guards(tmp_path):
+    enc = wf_builder("cfg/frontend/PASE+.cfg")
+    enc.init()
+    mesh = get_mesh()
+    D = mesh.shape["data"]
+    with pytest.raises(ValueError, match="divide"):
+        encode_time_sharded(
+            enc, np.zeros((1, D * 160 + 1), np.float32), mesh)
+    with pytest.raises(ValueError, match="too short"):
+        encode_time_sharded(
+            enc, np.zeros((1, D * 160), np.float32), mesh)

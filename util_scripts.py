@@ -39,6 +39,22 @@ def forward_chunk(opts):
     wav, sr = read_wav(opts.in_wav)
     chunk = opts.chunk_size
     feats = []
+    if getattr(opts, "time_shard", False):
+        # sequence parallelism: the whole utterance forwarded ONCE with
+        # the time axis sharded over every device (parallel/sp.py);
+        # numerically equal to the offline forward
+        from pase_tpu.parallel.mesh import get_mesh
+        from pase_tpu.parallel.sp import encode_time_sharded
+        mesh = get_mesh()
+        D = mesh.shape["data"]
+        n = (len(wav) // (D * 160)) * (D * 160)
+        y = np.asarray(jax.device_get(encode_time_sharded(
+            enc, wav[None, :n].astype(np.float32), mesh)))
+        out = np.transpose(y[0])                      # [emb, F]
+        np.save(opts.out_file, out)
+        print(f"{opts.in_wav}: {out.shape} -> {opts.out_file} "
+              f"(time-sharded over {D} devices)")
+        return
     if getattr(opts, "streaming", False):
         # stateful exact-online encode: identical frames to one full
         # forward, O(chunk) memory (pase_tpu/streaming.py)
@@ -483,6 +499,10 @@ def main():
     fc.add_argument("--streaming", action="store_true", default=False,
                     help="stateful exact-online encode (bit-equal to one "
                          "full forward) instead of independent windows")
+    fc.add_argument("--time_shard", action="store_true", default=False,
+                    help="sequence parallelism: one forward with the "
+                         "time axis sharded over all devices "
+                         "(parallel/sp.py; equals the offline forward)")
 
     ec = sub.add_parser("eval-ckpts")
     ec.add_argument("--fe_cfg", required=True)
