@@ -47,7 +47,47 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pase_tpu.ops.qrnn import _fm_combine
 
-__all__ = ["encode_time_sharded", "time_shard_halo"]
+__all__ = ["encode_time_sharded", "time_sharded_apply",
+           "time_shard_halo"]
+
+
+def _inclusive_compose_seq(a, b):
+    """Sequential inclusive scan of _fm_combine over axis 1 (time)."""
+    at, bt = jnp.moveaxis(a, 1, 0), jnp.moveaxis(b, 1, 0)
+
+    def comb(carry, ab):
+        out = _fm_combine(carry, ab)
+        return out, out
+
+    init = (jnp.ones_like(at[0]), jnp.zeros_like(bt[0]))
+    _, (A, Bc) = jax.lax.scan(comb, init, (at, bt))
+    return jnp.moveaxis(A, 0, 1), jnp.moveaxis(Bc, 0, 1)
+
+
+@jax.custom_vjp
+def _inclusive_compose(a, b):
+    """Inclusive composition scan (A_t, B_t) with c_t = A_t c_in + B_t.
+
+    Forward: log-depth associative_scan. Backward: the VJP of the
+    numerically-identical sequential scan — associative_scan's own
+    transpose breaks shard_map's sharding inference under jax.grad in
+    this jax version ("Unexpected XLA sharding override"), while
+    lax.scan transposes cleanly.
+    """
+    return jax.lax.associative_scan(_fm_combine, (a, b), axis=1)
+
+
+def _ic_fwd(a, b):
+    return _inclusive_compose(a, b), (a, b)
+
+
+def _ic_bwd(res, ct):
+    a, b = res
+    _, vjp = jax.vjp(_inclusive_compose_seq, a, b)
+    return vjp(ct)
+
+
+_inclusive_compose.defvjp(_ic_fwd, _ic_bwd)
 
 
 def time_shard_halo(module) -> int:
@@ -76,12 +116,20 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
       [B, T//160, emb] features (NTC), numerically equal to
       ``encoder.module.apply(vars, wav, train=False)``.
     """
+    return time_sharded_apply(encoder.module, encoder.variables, wav,
+                              mesh, axis=axis)
+
+
+def time_sharded_apply(module, variables, wav, mesh, axis: str = "data"):
+    """Pure-function form of :func:`encode_time_sharded` — a function of
+    ``(variables, wav)``, so it is DIFFERENTIABLE: shard_map transposes
+    the halo slices / all_gathers / ppermutes, giving exact
+    context-parallel gradients for long-sequence training
+    (tests/test_sequence_parallel.py pins grad equality vs offline)."""
     from pase_tpu.frontend import WaveFe, pool_to, fuse_skip
     from pase_tpu.nn import FeBlock
     from pase_tpu.precision import get_compute_dtype
 
-    module = encoder.module
-    variables = encoder.variables
     if not isinstance(module, WaveFe):
         raise TypeError("encode_time_sharded supports the WaveFe trunk "
                         f"(got {type(module).__name__})")
@@ -96,8 +144,6 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
             "InstanceNorm norm_out normalizes over the whole utterance; "
             "no exact time-sharded form")
 
-    params = variables["params"]
-    bstats = variables.get("batch_stats", {})
     D = int(mesh.shape[axis])
     R = int(np.prod(module.strides))
     Bsz, T = wav.shape
@@ -110,10 +156,6 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
         raise ValueError(
             f"utterance too short to time-shard: need T >= T/D + 2*{H} "
             f"(got T={T}, D={D}); use the offline encoder")
-    # static per-shard window starts, clamped so edge windows end at the
-    # true sequence edges (all multiples of R — frame grids align)
-    starts = np.clip([s * Tl - H for s in range(D)], 0, T - E)
-    starts = jnp.asarray(starts, jnp.int32)
     Fl, Fe = Tl // R, E // R
 
     nblocks = len(module.kwidths)
@@ -121,20 +163,17 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
     for i, (kw, st, dil, fm) in enumerate(zip(
             module.kwidths, module.strides, module.dilations,
             module.fmaps)):
-        blk = FeBlock(fmaps=fm, kwidth=kw, stride=st, dilation=dil,
-                      pad_mode=module.pad_mode, act=module.activation,
-                      norm_type=module.norm_type,
-                      sincnet=module.sincnet and i == 0, sr=module.sr)
-        sub = {"params": params[f"blocks_{i}"]}
-        if f"blocks_{i}" in bstats:
-            sub["batch_stats"] = bstats[f"blocks_{i}"]
-        blocks.append((blk, sub))
+        blocks.append(FeBlock(
+            fmaps=fm, kwidth=kw, stride=st, dilation=dil,
+            pad_mode=module.pad_mode, act=module.activation,
+            norm_type=module.norm_type,
+            sincnet=module.sincnet and i == 0, sr=module.sr))
 
     rnn_dim = module.rnn_dim if module.rnn_dim is not None \
         else module.emb_dim
     cd = get_compute_dtype()
 
-    def dense(h, li):
+    def dense(params, h, li):
         """QRNN layer dense over [x_t, x_{t-1}], mirroring nn.QRNN
         (nn.Dense(dtype=cd) then f32 pooling)."""
         w = params["rnn"][f"layers_{li}_linear"]
@@ -153,7 +192,7 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
         z = jnp.tanh(z)
         f = jax.nn.sigmoid(f)
         a, b = 1.0 - f, f * z
-        A, Bc = jax.lax.associative_scan(_fm_combine, (a, b), axis=1)
+        A, Bc = _inclusive_compose(a, b)
         # incoming carry: exclusive prefix composition of the shard
         # totals (c_in for shard s = compose of shards < s applied to 0)
         allA = jax.lax.all_gather(A[:, -1], axis)      # [D, B, H]
@@ -165,13 +204,22 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
 
         _, prefix = jax.lax.scan(step, jnp.zeros_like(allB[0]),
                                  (allA, allB))          # [D, B, H]
-        c_in = prefix[jax.lax.axis_index(axis)]
+        # one-hot contraction instead of prefix[axis_index]: the gather's
+        # transpose (scatter at a traced index) breaks shard_map's
+        # sharding inference under jax.grad
+        sel = jax.nn.one_hot(jax.lax.axis_index(axis), prefix.shape[0],
+                             dtype=prefix.dtype)
+        c_in = jnp.einsum("d,dbh->bh", sel, prefix)
         c = A * c_in[:, None] + Bc
         return jax.nn.sigmoid(o) * c
 
-    def block_fn(wav_full):
+    def block_fn(vars_, wav_full):
+        params = vars_["params"]
+        bstats = vars_.get("batch_stats", {})
         s = jax.lax.axis_index(axis)
-        start = starts[s]
+        # per-shard window start, clamped so edge windows end at the
+        # true sequence edges (all multiples of R — frame grids align)
+        start = jnp.clip(s * Tl - H, 0, T - E)
         xw = jax.lax.dynamic_slice(wav_full, (0, start), (Bsz, E))
         of = (s * Tl - start) // R          # kept-frame offset (traced)
 
@@ -181,7 +229,10 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
 
         h = xw[..., None]
         taps = []
-        for i, (blk, sub) in enumerate(blocks):
+        for i, blk in enumerate(blocks):
+            sub = {"params": params[f"blocks_{i}"]}
+            if f"blocks_{i}" in bstats:
+                sub["batch_stats"] = bstats[f"blocks_{i}"]
             h = blk.apply(sub, h, train=False)
             if module.denseskips and (i + 1) < nblocks:
                 taps.append(h)
@@ -190,7 +241,7 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
             # layer 1 gates on the EXTENDED window (shift_right is then
             # exact for every kept frame incl. the global t=0), then
             # kept-frame extraction + cross-shard carry fix
-            y3 = kept(dense(jnp.concatenate(
+            y3 = kept(dense(params, jnp.concatenate(
                 [h, shift_right_local(h)], axis=-1), 0))
             h = qrnn_carry_fix(y3)
             for li in range(1, module.rnn_layers):
@@ -200,7 +251,7 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
                     h[:, -1], axis, [(d, d + 1) for d in range(D - 1)])
                 xm1 = jnp.concatenate([prev_last[:, None], h[:, :-1]],
                                       axis=1)
-                y3 = dense(jnp.concatenate([h, xm1], axis=-1), li)
+                y3 = dense(params, jnp.concatenate([h, xm1], axis=-1), li)
                 h = qrnn_carry_fix(y3)
         else:
             h = kept(h)
@@ -228,7 +279,8 @@ def encode_time_sharded(encoder, wav, mesh, axis: str = "data"):
 
     smapped = jax.shard_map(
         block_fn, mesh=mesh,
-        in_specs=(P(),),                      # waveform replicated
+        in_specs=(P(), P()),                  # params + wav replicated
         out_specs=P(None, axis, None))        # frames sharded over time
-    wav = jax.device_put(wav, NamedSharding(mesh, P()))
-    return smapped(wav)
+    if not isinstance(wav, jax.core.Tracer):  # eager: commit to the mesh
+        wav = jax.device_put(wav, NamedSharding(mesh, P()))
+    return smapped(variables, wav)

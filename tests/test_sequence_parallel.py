@@ -10,10 +10,12 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from pase_tpu.frontend import wf_builder
 from pase_tpu.parallel.mesh import get_mesh
-from pase_tpu.parallel.sp import encode_time_sharded, time_shard_halo
+from pase_tpu.parallel.sp import (encode_time_sharded, time_sharded_apply,
+                                  time_shard_halo)
 
 
 def _forward_offline(enc, wav):
@@ -60,6 +62,46 @@ def test_time_sharded_multi_layer_qrnn(tmp_path):
     got = np.asarray(jax.device_get(
         encode_time_sharded(enc, wav, mesh)))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_time_sharded_gradients_equal_offline(tmp_path):
+    """Context-parallel TRAINING: grads of a loss on the time-sharded
+    forward (shard_map transposes the halo slices / carry collectives)
+    must equal offline grads — long-sequence training shards activation
+    memory 1/D without changing the training signal."""
+    cfg = {"kwidths": [65, 10, 4, 4], "strides": [1, 10, 4, 4],
+           "fmaps": [16, 16, 24, 24], "emb_dim": 24, "norm_out": True,
+           "rnn_pool": True, "rnn_dim": 24, "qrnn_impl": "scan",
+           "denseskips": True}
+    p = tmp_path / "fe.cfg"
+    p.write_text(json.dumps(cfg))
+    enc = wf_builder(str(p))
+    enc.init()
+    mesh = get_mesh()
+    D = mesh.shape["data"]
+    T = D * 3200
+    rng = np.random.RandomState(2)
+    wav = rng.randn(1, T).astype(np.float32) * 0.2
+    w = rng.randn(1, T // 160, 24).astype(np.float32)
+
+    def loss_sp(variables):
+        y = time_sharded_apply(enc.module, variables, wav, mesh)
+        return jnp.mean(y * w)
+
+    def loss_off(variables):
+        y = enc.module.apply(variables, wav, train=False)
+        return jnp.mean(y * w)
+
+    g_sp = jax.grad(loss_sp)(enc.variables)["params"]
+    g_off = jax.grad(loss_off)(enc.variables)["params"]
+    flat_sp, _ = jax.tree_util.tree_flatten_with_path(g_sp)
+    flat_off = dict(jax.tree_util.tree_flatten_with_path(g_off)[0])
+    assert flat_sp
+    for path, leaf in flat_sp:
+        ref = flat_off[path]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=str(path))
 
 
 def test_time_sharded_guards(tmp_path):
