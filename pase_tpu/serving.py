@@ -1,0 +1,168 @@
+"""AOT serving artifacts for the frozen encoder (jax.export / StableHLO).
+
+The reference's deployment story is a torch checkpoint plus the full
+pase source tree imported in-process (README.md:28,
+util_scripts/forward_chunk.py): serving requires torch, the model code,
+and the cfg. The TPU-native deployment unit is instead an ahead-of-time
+exported, version-stable StableHLO artifact (``jax.export``): the
+forward graph is lowered ONCE for both the cpu and tpu backends and
+serialized; at serve time nothing but jax + numpy is needed — no model
+code, no cfg parsing, no checkpoint conversion.
+
+Shape policy (TPU-first): XLA serving wants STATIC shapes, so the
+artifact holds one exported function per time-length BUCKET (default
+0.5/1/2/4 s at 16 kHz) with a SYMBOLIC batch dimension. The time axis
+cannot be symbolic for this model family — the QRNN's associative scan
+needs a static trip count and the reflect pads need provable bounds —
+and static buckets are the idiomatic TPU answer anyway. The loader
+windows an incoming utterance at the largest bucket, routes the tail to
+the smallest covering bucket (zero-padded), and trims the frame axis
+back: exactly the reference's forward_chunk window semantics
+(util_scripts/forward_chunk.py tail handling), so ``ServingEncoder``
+output matches ``util_scripts.py forward-chunk`` frame for frame.
+
+Layout: ``out_dir/meta.json`` (buckets, dims, jax version, precision),
+``out_dir/params.npz`` (one shared copy of the weights,
+checkpoint.save_variables format), ``out_dir/encoder_T{N}.jaxexp`` (the
+serialized Exported per bucket, weights passed as call arguments so the
+blobs stay small).
+"""
+
+import contextlib
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pase_tpu.checkpoint import save_variables, load_variables
+
+__all__ = ["export_encoder", "ServingEncoder"]
+
+_HOP = 160  # total stride of every shipped frontend cfg (100 Hz frames)
+
+
+def _plain(tree):
+    """FrozenDict -> plain nested dict (export serializes builtin pytrees)."""
+    from flax.core import unfreeze
+    return jax.tree_util.tree_map(lambda x: x, unfreeze(tree))
+
+
+def export_encoder(enc, out_dir: str,
+                   chunk_sizes: Sequence[int] = (8000, 16000, 32000, 64000),
+                   platforms: Sequence[str] = ("cpu", "tpu"),
+                   precision: Optional[str] = "highest") -> str:
+    """Export a (loaded or init'd) ``Encoder`` as a serving artifact.
+
+    Args:
+      enc: ``pase_tpu.frontend.Encoder``.
+      chunk_sizes: static time-length buckets (samples); each becomes one
+        exported function with a symbolic batch dim.
+      platforms: backends to lower for (cross-lowering — a tpu entry can
+        be produced on a cpu-only host and vice versa).
+      precision: matmul precision baked into the traced graph.
+        "highest" matches the forward-chunk extraction contract
+        (bit-comparable features across backends); None keeps the
+        backend default (bf16-ish on TPU — faster, noisier).
+    Returns ``out_dir``.
+    """
+    from jax import export as jexport
+
+    module = enc.module
+    variables = _plain(enc.variables)
+    os.makedirs(out_dir, exist_ok=True)
+    save_variables(os.path.join(out_dir, "params.npz"), variables,
+                   extra={"serving": True})
+
+    def fwd(params, wav):
+        return module.apply(params, wav, train=False)
+
+    pspecs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables)
+    buckets = sorted(int(t) for t in chunk_sizes)
+    for T in buckets:
+        if T % _HOP:
+            raise ValueError(f"bucket {T} must divide the hop {_HOP}")
+        b, = jexport.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, T), jnp.float32)
+        ctx = jax.default_matmul_precision(precision) if precision \
+            else contextlib.nullcontext()
+        with ctx:
+            exp = jexport.export(jax.jit(fwd),
+                                 platforms=tuple(platforms))(pspecs, spec)
+        with open(os.path.join(out_dir, f"encoder_T{T}.jaxexp"), "wb") as f:
+            f.write(exp.serialize())
+
+    emb = module.output_dim() if callable(getattr(module, "output_dim", None)) \
+        else module.emb_dim
+    meta = {
+        "format": "pase_tpu.serving/1",
+        "buckets": buckets,
+        "hop": _HOP,
+        "emb_dim": int(emb),
+        "sr": int(getattr(module, "sr", 16000)),
+        "platforms": list(platforms),
+        "precision": precision,
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+class ServingEncoder:
+    """Load an exported artifact dir and encode arbitrary-length audio.
+
+    ``encode(wav)`` accepts [T] or [B, T] float32 and returns features in
+    the public encoder contract — [emb, F] / [B, emb, F] at 100 Hz —
+    matching ``util_scripts.py forward-chunk`` with chunk_size = the
+    largest bucket (window-at-largest + zero-padded tail semantics).
+    """
+
+    def __init__(self, export_dir: str):
+        from jax import export as jexport
+        with open(os.path.join(export_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("format") != "pase_tpu.serving/1":
+            raise ValueError(f"not a pase_tpu serving artifact: {export_dir}")
+        self.params, _ = load_variables(
+            os.path.join(export_dir, "params.npz"))
+        self.params = _plain(self.params)
+        self.buckets = list(self.meta["buckets"])
+        self.hop = int(self.meta["hop"])
+        self._fns = {}
+        for T in self.buckets:
+            with open(os.path.join(export_dir,
+                                   f"encoder_T{T}.jaxexp"), "rb") as f:
+                self._fns[T] = jexport.deserialize(f.read())
+
+    def _run(self, wav: np.ndarray) -> np.ndarray:
+        """[B, T<=max_bucket] -> [B, T//hop, emb] via the smallest
+        covering bucket (zero-padded tail, frames trimmed)."""
+        T = wav.shape[1]
+        bucket = next((b for b in self.buckets if b >= T), None)
+        if bucket is None:
+            raise ValueError(f"window {T} exceeds the largest bucket "
+                             f"{self.buckets[-1]}")
+        if T < bucket:
+            wav = np.pad(wav, ((0, 0), (0, bucket - T)))
+        y = np.asarray(self._fns[bucket].call(self.params, wav))
+        return y[:, :T // self.hop]
+
+    def encode(self, wav) -> np.ndarray:
+        wav = np.asarray(wav, np.float32)
+        squeeze = wav.ndim == 1
+        if squeeze:
+            wav = wav[None]
+        if wav.ndim != 2 or wav.shape[1] < self.hop:
+            raise ValueError(f"expected [T] or [B, T] with T >= "
+                             f"{self.hop}, got {wav.shape}")
+        big = self.buckets[-1]
+        outs = [self._run(wav[:, beg:beg + big])
+                for beg in range(0, wav.shape[1], big)]
+        y = np.concatenate(outs, axis=1)          # [B, F, emb] (NTC)
+        y = np.transpose(y, (0, 2, 1))            # public [B, emb, F]
+        return y[0] if squeeze else y

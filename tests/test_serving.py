@@ -1,0 +1,135 @@
+"""AOT serving artifacts (pase_tpu/serving.py): export the frozen
+encoder with jax.export, reload it with no model code, and get the
+exact forward-chunk features back — the TPU-native replacement for the
+reference's torch-checkpoint + in-process deployment
+(util_scripts/forward_chunk.py)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from pase_tpu.frontend import wf_builder
+from pase_tpu.serving import export_encoder, ServingEncoder
+
+CFG = {"kwidths": [65, 10, 4, 4], "strides": [1, 10, 4, 4],
+       "fmaps": [16, 16, 24, 24], "emb_dim": 24, "norm_out": True,
+       "rnn_pool": True, "rnn_dim": 24, "qrnn_impl": "scan",
+       "denseskips": True}
+
+
+def _enc(tmp_path):
+    p = tmp_path / "fe.cfg"
+    p.write_text(json.dumps(CFG))
+    enc = wf_builder(str(p))
+    enc.init()
+    return enc
+
+
+def _offline_windowed(enc, wav, big):
+    """forward_chunk window semantics: windows of the largest bucket,
+    zero-padded tail, frames trimmed to len//160."""
+    outs = []
+    for beg in range(0, wav.shape[-1], big):
+        piece = wav[beg:beg + big]
+        pad = big - len(piece)
+        if pad:
+            piece = np.pad(piece, (0, pad))
+        y = np.asarray(enc(piece[None, None, :]))[0]     # [emb, F]
+        outs.append(y[:, :(big - pad) // 160])
+    return np.concatenate(outs, axis=1)
+
+
+def test_export_reload_matches_offline(tmp_path):
+    enc = _enc(tmp_path)
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(1600, 3200), platforms=("cpu",))
+    srv = ServingEncoder(out)
+    assert srv.buckets == [1600, 3200]
+    assert srv.meta["emb_dim"] == 24
+
+    rng = np.random.RandomState(0)
+    # exact bucket, sub-bucket (padded tail), multi-window + ragged tail
+    for T in (3200, 2000, 7000):
+        wav = (rng.randn(T) * 0.2).astype(np.float32)
+        got = srv.encode(wav)
+        ref = _offline_windowed(enc, wav, 3200)
+        assert got.shape == ref.shape == (24, T // 160)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_export_symbolic_batch(tmp_path):
+    enc = _enc(tmp_path)
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(1600,), platforms=("cpu",))
+    srv = ServingEncoder(out)
+    wav = (np.random.RandomState(1).randn(3, 1600) * 0.2).astype(np.float32)
+    got = srv.encode(wav)                                # [3, emb, F]
+    assert got.shape == (3, 24, 10)
+    for i in range(3):
+        np.testing.assert_allclose(got[i], srv.encode(wav[i]),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_serving_guards(tmp_path):
+    enc = _enc(tmp_path)
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(1600,), platforms=("cpu",))
+    srv = ServingEncoder(out)
+    with pytest.raises(ValueError, match="T >="):
+        srv.encode(np.zeros((1, 100), np.float32))
+    with pytest.raises(ValueError):
+        export_encoder(enc, out, chunk_sizes=(1601,), platforms=("cpu",))
+    (tmp_path / "bogus").mkdir()
+    (tmp_path / "bogus" / "meta.json").write_text("{}")
+    with pytest.raises(ValueError, match="artifact"):
+        ServingEncoder(str(tmp_path / "bogus"))
+
+
+def test_serving_needs_no_model_code(tmp_path):
+    """The consumer contract: a fresh process that never imports
+    pase_tpu model code runs the artifact (jax + numpy + the tiny
+    loader only)."""
+    enc = _enc(tmp_path)
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(1600,), platforms=("cpu",))
+    wav = (np.random.RandomState(2).randn(1600) * 0.2).astype(np.float32)
+    ref = srv_ref = ServingEncoder(out).encode(wav)
+    np.save(tmp_path / "wav.npy", wav)
+    code = (
+        "import sys, json, numpy as np\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax import export as jexport\n"
+        "out, wavp = sys.argv[1], sys.argv[2]\n"
+        "import os\n"
+        "meta = json.load(open(os.path.join(out, 'meta.json')))\n"
+        "T = meta['buckets'][0]\n"
+        "data = np.load(os.path.join(out, 'params.npz'))\n"
+        "tree = {}\n"
+        "for k in data.files:\n"
+        "    if k == '__meta__': continue\n"
+        "    cur = tree\n"
+        "    parts = k.split('/')\n"
+        "    for p_ in parts[:-1]: cur = cur.setdefault(p_, {})\n"
+        "    cur[parts[-1]] = data[k]\n"
+        "fn = jexport.deserialize(\n"
+        "    open(os.path.join(out, f'encoder_T{T}.jaxexp'), 'rb').read())\n"
+        "wav = np.load(wavp)[None]\n"
+        "y = np.asarray(fn.call(tree, wav))\n"
+        "np.save(sys.argv[3], np.transpose(y[0]))\n"
+    )
+    script = tmp_path / "consumer.py"
+    script.write_text(code)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    subprocess.run([sys.executable, str(script), out,
+                    str(tmp_path / "wav.npy"), str(tmp_path / "y.npy")],
+                   check=True, env=env, timeout=300)
+    got = np.load(tmp_path / "y.npy")
+    np.testing.assert_allclose(got, srv_ref, atol=1e-6, rtol=1e-6)

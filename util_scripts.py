@@ -81,6 +81,43 @@ def forward_chunk(opts):
     print(f"{opts.in_wav}: {out.shape} -> {opts.out_file}")
 
 
+def export_jax(opts):
+    """AOT-export the frozen encoder as a StableHLO serving artifact
+    (pase_tpu/serving.py): per-bucket exported functions + shared
+    params.npz + meta.json; serve-encode (or any jax-only host) loads
+    it with no model code."""
+    from pase_tpu.frontend import wf_builder
+    from pase_tpu.serving import export_encoder
+    enc = wf_builder(opts.fe_cfg)
+    if opts.fe_ckpt:
+        enc.load_pretrained(opts.fe_ckpt, load_last=True)
+    else:
+        enc.init()
+    chunk_sizes = [int(t) for t in opts.chunk_sizes.split(",") if t]
+    precision = None if opts.precision in ("default", "none") \
+        else opts.precision
+    export_encoder(enc, opts.out_dir, chunk_sizes=chunk_sizes,
+                   platforms=tuple(opts.platforms.split(",")),
+                   precision=precision)
+    import glob as _glob
+    n = len(_glob.glob(os.path.join(opts.out_dir, "encoder_T*.jaxexp")))
+    print(f"exported {n} bucket(s) {chunk_sizes} for "
+          f"{opts.platforms} -> {opts.out_dir}")
+
+
+def serve_encode(opts):
+    """Encode a wav with an export-jax artifact (no model code/cfg):
+    same [emb, F] .npy contract as forward-chunk."""
+    from pase_tpu.serving import ServingEncoder
+    from pase_tpu.data.io import read_wav
+    srv = ServingEncoder(opts.export_dir)
+    wav, sr = read_wav(opts.in_wav)
+    out = srv.encode(wav)
+    np.save(opts.out_file, out)
+    print(f"{opts.in_wav}: {out.shape} -> {opts.out_file} "
+          f"(buckets {srv.buckets})")
+
+
 def eval_ckpts(opts):
     import jax
     import jax.numpy as jnp
@@ -591,6 +628,22 @@ def main():
     ec.add_argument("--kbps", type=int, default=1600)
     ec.add_argument("--num_workers", type=int, default=8)
 
+    ej = sub.add_parser("export-jax")
+    ej.add_argument("--fe_cfg", required=True)
+    ej.add_argument("--fe_ckpt", default=None)
+    ej.add_argument("--out_dir", required=True)
+    ej.add_argument("--chunk_sizes", default="8000,16000,32000,64000",
+                    help="comma-separated static time buckets (samples)")
+    ej.add_argument("--platforms", default="cpu,tpu")
+    ej.add_argument("--precision", default="highest",
+                    help="'highest' (extraction contract) or 'default' "
+                         "(backend matmul default — faster on TPU)")
+
+    se = sub.add_parser("serve-encode")
+    se.add_argument("--export_dir", required=True)
+    se.add_argument("--in_wav", required=True)
+    se.add_argument("--out_file", required=True)
+
     pe = sub.add_parser("prosodic-eval")
     pe.add_argument("--fe_cfg", required=True)
     pe.add_argument("--net_cfg", required=True)
@@ -609,7 +662,8 @@ def main():
      "precompute-feats": precompute_feats, "profile-step": profile_step,
      "make-contaminated": make_contaminated, "select-ckpt": select_ckpt,
      "project-features": project_features, "encode-codec2": encode_codec2,
-     "prosodic-eval": prosodic_eval}[opts.cmd](opts)
+     "prosodic-eval": prosodic_eval, "export-jax": export_jax,
+     "serve-encode": serve_encode}[opts.cmd](opts)
 
 
 if __name__ == "__main__":
