@@ -29,8 +29,9 @@ Scheme (exact up to float reassociation):
     frame-local.
 
 Not supported (raise): resblocks trunks, rnn_type != qrnn,
-InstanceNorm norm_out (normalizes over the WHOLE utterance — no
-sharded form is exact), GRU/LSTM context layers.
+InstanceNorm norm_out or per-block inorm/affinorm (they normalize over
+the WHOLE time axis — no sharded form is exact), GRU/LSTM context
+layers.
 
 Like streaming.py, this module mirrors WaveFe.__call__ out of the same
 building blocks and must track any change to its pad/conv/QRNN
@@ -143,6 +144,11 @@ def time_sharded_apply(module, variables, wav, mesh, axis: str = "data"):
         raise NotImplementedError(
             "InstanceNorm norm_out normalizes over the whole utterance; "
             "no exact time-sharded form")
+    if module.norm_type in ("inorm", "affinorm"):
+        raise NotImplementedError(
+            "per-block InstanceNorm normalizes over the whole time axis; "
+            "no exact time-sharded form (bnorm/lnorm/snorm/wnorm are "
+            "time-local and supported)")
 
     D = int(mesh.shape[axis])
     R = int(np.prod(module.strides))
@@ -268,13 +274,16 @@ def time_sharded_apply(module, variables, wav, mesh, axis: str = "data"):
         if module.tanh_out:
             y = jnp.tanh(y)
         if module.vq_K is not None and module.vq_K > 0:
-            # eval-path VQ: nearest codebook entry per frame (the
-            # straight-through add is the identity in a forward pass)
+            # eval-path VQ with the straight-through estimator
+            # (nn.py quantizer semantics): forward value is the nearest
+            # codebook entry; gradients pass through y unchanged, so
+            # time-sharded grads match the offline encoder for VQ cfgs
             e = bstats["quantizer"]["emb"]
             flat = y.reshape(-1, y.shape[-1])
             d2 = (jnp.sum(flat ** 2, axis=1, keepdims=True)
                   + jnp.sum(e ** 2, axis=1) - 2.0 * flat @ e.T)
-            y = e[jnp.argmin(d2, axis=1)].reshape(y.shape)
+            q = e[jnp.argmin(d2, axis=1)].reshape(y.shape)
+            y = y + jax.lax.stop_gradient(q - y)
         return y
 
     smapped = jax.shard_map(

@@ -42,8 +42,6 @@ from pase_tpu.checkpoint import save_variables, load_variables
 
 __all__ = ["export_encoder", "ServingEncoder"]
 
-_HOP = 160  # total stride of every shipped frontend cfg (100 Hz frames)
-
 
 def _plain(tree):
     """FrozenDict -> plain nested dict (export serializes builtin pytrees)."""
@@ -73,6 +71,13 @@ def export_encoder(enc, out_dir: str,
 
     module = enc.module
     variables = _plain(enc.variables)
+    strides = getattr(module, "strides", None)
+    hop = int(np.prod(strides)) if strides is not None else 160
+    try:
+        from pase_tpu.parallel.sp import time_shard_halo
+        halo = int(time_shard_halo(module))   # trunk receptive extent
+    except Exception:
+        halo = None   # non-WaveFe trunk: loader always uses the largest
     os.makedirs(out_dir, exist_ok=True)
     save_variables(os.path.join(out_dir, "params.npz"), variables,
                    extra={"serving": True})
@@ -84,8 +89,8 @@ def export_encoder(enc, out_dir: str,
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables)
     buckets = sorted(int(t) for t in chunk_sizes)
     for T in buckets:
-        if T % _HOP:
-            raise ValueError(f"bucket {T} must divide the hop {_HOP}")
+        if T % hop:
+            raise ValueError(f"bucket {T} must divide the hop {hop}")
         b, = jexport.symbolic_shape("b")
         spec = jax.ShapeDtypeStruct((b, T), jnp.float32)
         ctx = jax.default_matmul_precision(precision) if precision \
@@ -96,12 +101,14 @@ def export_encoder(enc, out_dir: str,
         with open(os.path.join(out_dir, f"encoder_T{T}.jaxexp"), "wb") as f:
             f.write(exp.serialize())
 
-    emb = module.output_dim() if callable(getattr(module, "output_dim", None)) \
-        else module.emb_dim
+    emb = getattr(module, "output_dim", None)   # WaveFe: a @property int
+    if not isinstance(emb, (int, np.integer)):
+        emb = module.emb_dim
     meta = {
         "format": "pase_tpu.serving/1",
         "buckets": buckets,
-        "hop": _HOP,
+        "hop": hop,
+        "halo": halo,
         "emb_dim": int(emb),
         "sr": int(getattr(module, "sr", 16000)),
         "platforms": list(platforms),
@@ -133,6 +140,7 @@ class ServingEncoder:
         self.params = _plain(self.params)
         self.buckets = list(self.meta["buckets"])
         self.hop = int(self.meta["hop"])
+        self.halo = self.meta.get("halo")
         self._fns = {}
         for T in self.buckets:
             with open(os.path.join(export_dir,
@@ -141,10 +149,18 @@ class ServingEncoder:
 
     def _run(self, wav: np.ndarray) -> np.ndarray:
         """[B, T<=max_bucket] -> [B, T//hop, emb] via the smallest
-        covering bucket (zero-padded tail, frames trimmed)."""
+        bucket covering T PLUS the trunk's receptive halo (zero-padded,
+        frames trimmed). The halo margin keeps every kept frame's
+        receptive field inside the zero region — never reaching the
+        bucket-edge reflect pad — so the result is identical to padding
+        into the largest bucket (= the forward-chunk window semantics);
+        without a recorded halo, only the largest bucket is exact."""
         T = wav.shape[1]
-        bucket = next((b for b in self.buckets if b >= T), None)
-        if bucket is None:
+        need = T if T == self.buckets[-1] else T + (
+            self.halo if self.halo is not None else self.buckets[-1])
+        bucket = next((b for b in self.buckets if b >= need),
+                      self.buckets[-1])
+        if T > bucket:
             raise ValueError(f"window {T} exceeds the largest bucket "
                              f"{self.buckets[-1]}")
         if T < bucket:

@@ -104,6 +104,37 @@ def test_time_sharded_gradients_equal_offline(tmp_path):
                                    err_msg=str(path))
 
 
+def test_time_sharded_vq_straight_through(tmp_path):
+    """VQ cfgs: forward emits the quantized codes; grads pass straight
+    through to the encoder params (identity STE), matching the offline
+    quantizer semantics instead of silently zeroing encoder grads."""
+    cfg = {"kwidths": [65, 10, 4, 4], "strides": [1, 10, 4, 4],
+           "fmaps": [16, 16, 24, 24], "emb_dim": 24, "rnn_pool": True,
+           "rnn_dim": 24, "qrnn_impl": "scan", "vq_K": 16}
+    p = tmp_path / "fe.cfg"
+    p.write_text(json.dumps(cfg))
+    enc = wf_builder(str(p))
+    enc.init()
+    mesh = get_mesh()
+    D = mesh.shape["data"]
+    T = D * 3200
+    rng = np.random.RandomState(3)
+    wav = rng.randn(1, T).astype(np.float32) * 0.2
+
+    ref = _forward_offline(enc, wav)
+    got = np.asarray(jax.device_get(encode_time_sharded(enc, wav, mesh)))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+    def loss(variables):
+        y = time_sharded_apply(enc.module, variables, wav, mesh)
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(enc.variables)["params"]
+    gnorm = sum(float(jnp.sum(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0.0
+
+
 def test_time_sharded_guards(tmp_path):
     enc = wf_builder("cfg/frontend/PASE+.cfg")
     enc.init()
@@ -115,3 +146,12 @@ def test_time_sharded_guards(tmp_path):
     with pytest.raises(ValueError, match="too short"):
         encode_time_sharded(
             enc, np.zeros((1, D * 160), np.float32), mesh)
+    cfg = {"kwidths": [65, 10, 4, 4], "strides": [1, 10, 4, 4],
+           "fmaps": [16, 16, 24, 24], "emb_dim": 24, "norm_type": "inorm"}
+    p = tmp_path / "fe_inorm.cfg"
+    p.write_text(json.dumps(cfg))
+    enc2 = wf_builder(str(p))
+    enc2.init()
+    with pytest.raises(NotImplementedError, match="InstanceNorm"):
+        encode_time_sharded(
+            enc2, np.zeros((1, D * 3200), np.float32), mesh)

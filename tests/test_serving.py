@@ -52,6 +52,9 @@ def test_export_reload_matches_offline(tmp_path):
     srv = ServingEncoder(out)
     assert srv.buckets == [1600, 3200]
     assert srv.meta["emb_dim"] == 24
+    assert srv.meta["hop"] == 160
+    # trunk receptive halo recorded for exact tail-bucket routing
+    assert srv.halo is not None and srv.halo % 160 == 0
 
     rng = np.random.RandomState(0)
     # exact bucket, sub-bucket (padded tail), multi-window + ragged tail
@@ -61,6 +64,21 @@ def test_export_reload_matches_offline(tmp_path):
         ref = _offline_windowed(enc, wav, 3200)
         assert got.shape == ref.shape == (24, T // 160)
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_concat_densemerge_meta_dim(tmp_path):
+    """meta emb_dim must be the REALIZED output dim (concat widens it
+    beyond cfg emb_dim — WaveFe.output_dim is a property)."""
+    cfg = dict(CFG, densemerge="concat")
+    p = tmp_path / "fe.cfg"
+    p.write_text(json.dumps(cfg))
+    enc = wf_builder(str(p))
+    enc.init()
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(1600,), platforms=("cpu",))
+    srv = ServingEncoder(out)
+    y = srv.encode(np.zeros(1600, np.float32))
+    assert y.shape[0] == srv.meta["emb_dim"] > 24
 
 
 def test_export_symbolic_batch(tmp_path):

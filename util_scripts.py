@@ -47,10 +47,14 @@ def forward_chunk(opts):
         from pase_tpu.parallel.sp import encode_time_sharded
         mesh = get_mesh()
         D = mesh.shape["data"]
-        n = (len(wav) // (D * 160)) * (D * 160)
+        # zero-pad up to the shard grid (reference forward_chunk tail
+        # semantics) and trim frames back, so the frame count matches
+        # the non-sharded path for any length
+        n = -(-len(wav) // (D * 160)) * (D * 160)
+        piece = np.pad(wav.astype(np.float32), (0, n - len(wav)))
         y = np.asarray(jax.device_get(encode_time_sharded(
-            enc, wav[None, :n].astype(np.float32), mesh)))
-        out = np.transpose(y[0])                      # [emb, F]
+            enc, piece[None], mesh)))
+        out = np.transpose(y[0][:len(wav) // 160])    # [emb, F]
         np.save(opts.out_file, out)
         print(f"{opts.in_wav}: {out.shape} -> {opts.out_file} "
               f"(time-sharded over {D} devices)")
@@ -99,8 +103,7 @@ def export_jax(opts):
     export_encoder(enc, opts.out_dir, chunk_sizes=chunk_sizes,
                    platforms=tuple(opts.platforms.split(",")),
                    precision=precision)
-    import glob as _glob
-    n = len(_glob.glob(os.path.join(opts.out_dir, "encoder_T*.jaxexp")))
+    n = len(glob.glob(os.path.join(opts.out_dir, "encoder_T*.jaxexp")))
     print(f"exported {n} bucket(s) {chunk_sizes} for "
           f"{opts.platforms} -> {opts.out_dir}")
 
@@ -539,7 +542,10 @@ def main():
     fc.add_argument("--time_shard", action="store_true", default=False,
                     help="sequence parallelism: one forward with the "
                          "time axis sharded over all devices "
-                         "(parallel/sp.py; equals the offline forward)")
+                         "(parallel/sp.py). Equals the offline forward; "
+                         "lengths off the n_devices*160 grid get a "
+                         "zero-padded tail (reference forward_chunk "
+                         "semantics) and frames trimmed to len//160")
 
     ec = sub.add_parser("eval-ckpts")
     ec.add_argument("--fe_cfg", required=True)
