@@ -38,6 +38,15 @@ def __getattr__(name):
     if name == "StreamingEncoder":
         from pase_tpu.streaming import StreamingEncoder
         return StreamingEncoder
+    if name == "ServingEncoder":
+        from pase_tpu.serving import ServingEncoder
+        return ServingEncoder
+    if name == "export_encoder":
+        from pase_tpu.serving import export_encoder
+        return export_encoder
+    if name == "encode_time_sharded":
+        from pase_tpu.parallel.sp import encode_time_sharded
+        return encode_time_sharded
     raise AttributeError(name)
 
 
@@ -50,4 +59,7 @@ __all__ = [
     "build_pase",
     "Trainer",
     "StreamingEncoder",
+    "ServingEncoder",
+    "export_encoder",
+    "encode_time_sharded",
 ]
