@@ -54,3 +54,35 @@ def test_forward_chunk_streaming(tmp_path):
     util_scripts.forward_chunk(opts)
     feats = np.load(tmp_path / "feats.npy")
     assert feats.shape == (32, 50000 // 160)
+
+
+def test_forward_chunk_wav_list(tmp_path):
+    """Batch mode (reference forward_chunk consumes file lists): one
+    .npy per wav under --out_dir, identical to single-file output."""
+    import util_scripts
+    import argparse
+    import json
+    from pase_tpu.data.io import write_wav
+    rng = np.random.RandomState(1)
+    lens = {"a": 20000, "b": 33000}
+    for name, n in lens.items():
+        write_wav(str(tmp_path / f"{name}.wav"),
+                  (rng.randn(n) * 0.1).astype(np.float32))
+    (tmp_path / "list.txt").write_text("a.wav\nb.wav\n")
+    fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
+          "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
+    with open(tmp_path / "fe.cfg", "w") as f:
+        json.dump(fe, f)
+    common = dict(fe_cfg=str(tmp_path / "fe.cfg"), fe_ckpt=None,
+                  chunk_size=16000)
+    util_scripts.forward_chunk(argparse.Namespace(
+        in_wav=None, out_file=None, wav_list=str(tmp_path / "list.txt"),
+        files_root=str(tmp_path), out_dir=str(tmp_path / "out"), **common))
+    for name, n in lens.items():
+        got = np.load(tmp_path / "out" / f"{name}.npy")
+        assert got.shape == (32, n // 160)
+        util_scripts.forward_chunk(argparse.Namespace(
+            in_wav=str(tmp_path / f"{name}.wav"),
+            out_file=str(tmp_path / f"{name}_single.npy"), **common))
+        single = np.load(tmp_path / f"{name}_single.npy")
+        np.testing.assert_array_equal(got, single)

@@ -29,6 +29,11 @@ def forward_chunk(opts):
     # parity contract; at 'highest' streaming==offline to ~2e-7
     # (measured on a real chip)
     jax.config.update("jax_default_matmul_precision", "highest")
+    if not getattr(opts, "wav_list", None) and not (
+            getattr(opts, "in_wav", None) and
+            getattr(opts, "out_file", None)):
+        raise SystemExit(
+            "forward-chunk needs --in_wav + --out_file, or --wav_list")
     from pase_tpu.frontend import wf_builder
     from pase_tpu.data.io import read_wav
     enc = wf_builder(opts.fe_cfg)
@@ -36,53 +41,71 @@ def forward_chunk(opts):
         enc.load_pretrained(opts.fe_ckpt, load_last=True)
     else:
         enc.init()
-    wav, sr = read_wav(opts.in_wav)
     chunk = opts.chunk_size
-    feats = []
-    if getattr(opts, "time_shard", False):
-        # sequence parallelism: the whole utterance forwarded ONCE with
-        # the time axis sharded over every device (parallel/sp.py);
-        # numerically equal to the offline forward
-        from pase_tpu.parallel.mesh import get_mesh
-        from pase_tpu.parallel.sp import encode_time_sharded
-        mesh = get_mesh()
-        D = mesh.shape["data"]
-        # zero-pad up to the shard grid (reference forward_chunk tail
-        # semantics) and trim frames back, so the frame count matches
-        # the non-sharded path for any length
-        n = -(-len(wav) // (D * 160)) * (D * 160)
-        piece = np.pad(wav.astype(np.float32), (0, n - len(wav)))
-        y = np.asarray(jax.device_get(encode_time_sharded(
-            enc, piece[None], mesh)))
-        out = np.transpose(y[0][:len(wav) // 160])    # [emb, F]
-        np.save(opts.out_file, out)
-        print(f"{opts.in_wav}: {out.shape} -> {opts.out_file} "
-              f"(time-sharded over {D} devices)")
-        return
-    if getattr(opts, "streaming", False):
-        # stateful exact-online encode: identical frames to one full
-        # forward, O(chunk) memory (pase_tpu/streaming.py)
-        from pase_tpu.streaming import StreamingEncoder
-        st = StreamingEncoder(enc)
-        for beg in range(0, len(wav), chunk):
-            y = st.push(wav[None, beg:beg + chunk])
+
+    def encode_one(in_wav, out_file):
+        wav, sr = read_wav(in_wav)
+        feats = []
+        if getattr(opts, "time_shard", False):
+            # sequence parallelism: the whole utterance forwarded ONCE
+            # with the time axis sharded over every device
+            # (parallel/sp.py); numerically equal to the offline forward
+            from pase_tpu.parallel.mesh import get_mesh
+            from pase_tpu.parallel.sp import encode_time_sharded
+            mesh = get_mesh()
+            D = mesh.shape["data"]
+            # zero-pad up to the shard grid (reference forward_chunk
+            # tail semantics) and trim frames back, so the frame count
+            # matches the non-sharded path for any length
+            n = -(-len(wav) // (D * 160)) * (D * 160)
+            piece = np.pad(wav.astype(np.float32), (0, n - len(wav)))
+            y = np.asarray(jax.device_get(encode_time_sharded(
+                enc, piece[None], mesh)))
+            out = np.transpose(y[0][:len(wav) // 160])    # [emb, F]
+            np.save(out_file, out)
+            print(f"{in_wav}: {out.shape} -> {out_file} "
+                  f"(time-sharded over {D} devices)")
+            return
+        if getattr(opts, "streaming", False):
+            # stateful exact-online encode: identical frames to one full
+            # forward, O(chunk) memory (pase_tpu/streaming.py)
+            from pase_tpu.streaming import StreamingEncoder
+            st = StreamingEncoder(enc)
+            for beg in range(0, len(wav), chunk):
+                y = st.push(wav[None, beg:beg + chunk])
+                if y is not None:
+                    feats.append(np.asarray(y)[0])
+            y = st.flush()
             if y is not None:
                 feats.append(np.asarray(y)[0])
-        y = st.flush()
-        if y is not None:
-            feats.append(np.asarray(y)[0])
-    else:
-        # reference semantics: independent windows (zero-padded tail),
-        # boundary frames see reflect pads (util_scripts/forward_chunk.py)
-        for beg in range(0, len(wav), chunk):
-            piece = wav[beg:beg + chunk]
-            if len(piece) < chunk:
-                piece = np.pad(piece, (0, chunk - len(piece)))
-            y = np.asarray(enc(piece[None, None, :]))[0]     # [D, F]
-            feats.append(y)
-    out = np.concatenate(feats, axis=1)[:, :len(wav) // 160]
-    np.save(opts.out_file, out)
-    print(f"{opts.in_wav}: {out.shape} -> {opts.out_file}")
+        else:
+            # reference semantics: independent windows (zero-padded
+            # tail), boundary frames see reflect pads
+            # (util_scripts/forward_chunk.py)
+            for beg in range(0, len(wav), chunk):
+                piece = wav[beg:beg + chunk]
+                if len(piece) < chunk:
+                    piece = np.pad(piece, (0, chunk - len(piece)))
+                y = np.asarray(enc(piece[None, None, :]))[0]   # [D, F]
+                feats.append(y)
+        out = np.concatenate(feats, axis=1)[:, :len(wav) // 160]
+        np.save(out_file, out)
+        print(f"{in_wav}: {out.shape} -> {out_file}")
+
+    if getattr(opts, "wav_list", None):
+        # batch mode (the reference forward_chunk consumes file lists,
+        # util_scripts/forward_chunk.py:50-58): one .npy per input wav
+        # under --out_dir, same encode-mode flags, ONE encoder build
+        out_dir = opts.out_dir or "."
+        os.makedirs(out_dir, exist_ok=True)
+        with open(opts.wav_list) as f:
+            files = [ln.strip() for ln in f if ln.strip()]
+        for rel in files:
+            base = os.path.splitext(os.path.basename(rel))[0]
+            encode_one(os.path.join(opts.files_root or "", rel),
+                       os.path.join(out_dir, base + ".npy"))
+        return
+    encode_one(opts.in_wav, opts.out_file)
 
 
 def export_jax(opts):
@@ -533,8 +556,16 @@ def main():
     fc = sub.add_parser("forward-chunk")
     fc.add_argument("--fe_cfg", required=True)
     fc.add_argument("--fe_ckpt", default=None)
-    fc.add_argument("--in_wav", required=True)
-    fc.add_argument("--out_file", required=True)
+    fc.add_argument("--in_wav", default=None)
+    fc.add_argument("--out_file", default=None)
+    fc.add_argument("--wav_list", default=None,
+                    help="batch mode: file of wav paths (one per line); "
+                         "writes <out_dir>/<basename>.npy per wav "
+                         "(reference forward_chunk list semantics)")
+    fc.add_argument("--files_root", default="",
+                    help="prefix joined to each --wav_list entry")
+    fc.add_argument("--out_dir", default=".",
+                    help="output dir for --wav_list mode")
     fc.add_argument("--chunk_size", type=int, default=160000)
     fc.add_argument("--streaming", action="store_true", default=False,
                     help="stateful exact-online encode (bit-equal to one "
