@@ -74,10 +74,15 @@ def export_encoder(enc, out_dir: str,
     strides = getattr(module, "strides", None)
     hop = int(np.prod(strides)) if strides is not None else 160
     try:
+        if getattr(module, "resblocks", False):
+            # time_shard_halo's formula is for the plain FeBlock trunk;
+            # resblock chains (two convs/block + even-kwidth growth)
+            # would undercount — fall back to largest-bucket routing
+            raise ValueError("resblocks trunk")
         from pase_tpu.parallel.sp import time_shard_halo
         halo = int(time_shard_halo(module))   # trunk receptive extent
     except Exception:
-        halo = None   # non-WaveFe trunk: loader always uses the largest
+        halo = None   # unknown extent: loader always uses the largest
     os.makedirs(out_dir, exist_ok=True)
     save_variables(os.path.join(out_dir, "params.npz"), variables,
                    extra={"serving": True})
