@@ -52,7 +52,8 @@ def _plain(tree):
 def export_encoder(enc, out_dir: str,
                    chunk_sizes: Sequence[int] = (8000, 16000, 32000, 64000),
                    platforms: Sequence[str] = ("cpu", "tpu"),
-                   precision: Optional[str] = "highest") -> str:
+                   precision: Optional[str] = "highest",
+                   weights_dtype: Optional[str] = None) -> str:
     """Export a (loaded or init'd) ``Encoder`` as a serving artifact.
 
     Args:
@@ -65,12 +66,27 @@ def export_encoder(enc, out_dir: str,
         "highest" matches the forward-chunk extraction contract
         (bit-comparable features across backends); None keeps the
         backend default (bf16-ish on TPU — faster, noisier).
+      weights_dtype: optionally quantize float weights (e.g. "bfloat16"
+        — halves the serving-time weight HBM traffic; the graph upcasts
+        to f32 internally so compute still runs at ``precision``).
+        params.npz stores the quantized values upcast to f32 (npz has
+        no bf16; bf16->f32->bf16 is lossless) and the loader re-casts.
+        None keeps the training dtypes (the extraction contract).
     Returns ``out_dir``.
     """
     from jax import export as jexport
 
     module = enc.module
     variables = _plain(enc.variables)
+
+    def _is_float(x):
+        return jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+
+    if weights_dtype is not None:
+        wd = jnp.dtype(weights_dtype)
+        variables = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x).astype(wd) if _is_float(x) else x,
+            variables)
     strides = getattr(module, "strides", None)
     hop = int(np.prod(strides)) if strides is not None else 160
     try:
@@ -84,10 +100,20 @@ def export_encoder(enc, out_dir: str,
     except Exception:
         halo = None   # unknown extent: loader always uses the largest
     os.makedirs(out_dir, exist_ok=True)
-    save_variables(os.path.join(out_dir, "params.npz"), variables,
-                   extra={"serving": True})
+    save_variables(
+        os.path.join(out_dir, "params.npz"),
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(jnp.asarray(x).astype(jnp.float32))
+            if _is_float(x) else x, variables),
+        extra={"serving": True})
 
     def fwd(params, wav):
+        if weights_dtype is not None:
+            # quantized weights travel to the device at weights_dtype;
+            # compute upcasts to f32 in-graph (dtype-safe everywhere)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32) if _is_float(x) else x,
+                params)
         return module.apply(params, wav, train=False)
 
     pspecs = jax.tree_util.tree_map(
@@ -118,6 +144,7 @@ def export_encoder(enc, out_dir: str,
         "sr": int(getattr(module, "sr", 16000)),
         "platforms": list(platforms),
         "precision": precision,
+        "weights_dtype": weights_dtype,
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -143,6 +170,15 @@ class ServingEncoder:
         self.params, _ = load_variables(
             os.path.join(export_dir, "params.npz"))
         self.params = _plain(self.params)
+        wd = self.meta.get("weights_dtype")
+        if wd is not None:
+            # stored as f32 (npz has no bf16); the exported graphs take
+            # weights at the quantized dtype — re-cast (lossless)
+            wdt = jnp.dtype(wd)
+            self.params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x).astype(wdt)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                else x, self.params)
         self.buckets = list(self.meta["buckets"])
         self.hop = int(self.meta["hop"])
         self.halo = self.meta.get("halo")

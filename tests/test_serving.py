@@ -94,6 +94,28 @@ def test_export_symbolic_batch(tmp_path):
                                    atol=1e-6, rtol=1e-6)
 
 
+def test_export_bf16_weights(tmp_path):
+    """weights_dtype='bfloat16': features stay within bf16 weight
+    rounding of the f32 artifact; meta records the quantization."""
+    enc = _enc(tmp_path)
+    out32 = str(tmp_path / "a32")
+    out16 = str(tmp_path / "a16")
+    export_encoder(enc, out32, chunk_sizes=(1600,), platforms=("cpu",))
+    export_encoder(enc, out16, chunk_sizes=(1600,), platforms=("cpu",),
+                   weights_dtype="bfloat16")
+    s32, s16 = ServingEncoder(out32), ServingEncoder(out16)
+    assert s16.meta["weights_dtype"] == "bfloat16"
+    wav = (np.random.RandomState(5).randn(1600) * 0.2).astype(np.float32)
+    y32, y16 = s32.encode(wav), s16.encode(wav)
+    assert y16.shape == y32.shape
+    assert not np.array_equal(y16, y32)          # quantization is real
+    # bnorm'd features are O(1); bf16 weights perturb them mildly
+    assert np.abs(y16 - y32).max() < 0.15
+    # the quantization is recorded exactly: re-export == reload
+    np.testing.assert_array_equal(
+        np.asarray(ServingEncoder(out16).encode(wav)), y16)
+
+
 def test_serving_guards(tmp_path):
     enc = _enc(tmp_path)
     out = str(tmp_path / "artifact")

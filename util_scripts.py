@@ -125,7 +125,8 @@ def export_jax(opts):
         else opts.precision
     export_encoder(enc, opts.out_dir, chunk_sizes=chunk_sizes,
                    platforms=tuple(opts.platforms.split(",")),
-                   precision=precision)
+                   precision=precision,
+                   weights_dtype=getattr(opts, "weights_dtype", None))
     n = len(glob.glob(os.path.join(opts.out_dir, "encoder_T*.jaxexp")))
     print(f"exported {n} bucket(s) {chunk_sizes} for "
           f"{opts.platforms} -> {opts.out_dir}")
@@ -675,6 +676,10 @@ def main():
     ej.add_argument("--precision", default="highest",
                     help="'highest' (extraction contract) or 'default' "
                          "(backend matmul default — faster on TPU)")
+    ej.add_argument("--weights_dtype", default=None,
+                    help="quantize weights, e.g. bfloat16 (halves "
+                         "serving-time weight HBM traffic; compute "
+                         "upcasts to f32 in-graph)")
 
     se = sub.add_parser("serve-encode")
     se.add_argument("--export_dir", required=True)
