@@ -133,16 +133,35 @@ def export_jax(opts):
 
 
 def serve_encode(opts):
-    """Encode a wav with an export-jax artifact (no model code/cfg):
-    same [emb, F] .npy contract as forward-chunk."""
+    """Encode wav(s) with an export-jax artifact (no model code/cfg):
+    same [emb, F] .npy contract (and --wav_list batch mode) as
+    forward-chunk."""
     from pase_tpu.serving import ServingEncoder
     from pase_tpu.data.io import read_wav
     srv = ServingEncoder(opts.export_dir)
-    wav, sr = read_wav(opts.in_wav)
-    out = srv.encode(wav)
-    np.save(opts.out_file, out)
-    print(f"{opts.in_wav}: {out.shape} -> {opts.out_file} "
-          f"(buckets {srv.buckets})")
+
+    def one(in_wav, out_file):
+        wav, sr = read_wav(in_wav)
+        out = srv.encode(wav)
+        np.save(out_file, out)
+        print(f"{in_wav}: {out.shape} -> {out_file} "
+              f"(buckets {srv.buckets})")
+
+    if getattr(opts, "wav_list", None):
+        out_dir = opts.out_dir or "."
+        os.makedirs(out_dir, exist_ok=True)
+        with open(opts.wav_list) as f:
+            files = [ln.strip() for ln in f if ln.strip()]
+        for rel in files:
+            base = os.path.splitext(os.path.basename(rel))[0]
+            one(os.path.join(opts.files_root or "", rel),
+                os.path.join(out_dir, base + ".npy"))
+        return
+    if not (getattr(opts, "in_wav", None) and
+            getattr(opts, "out_file", None)):
+        raise SystemExit(
+            "serve-encode needs --in_wav + --out_file, or --wav_list")
+    one(opts.in_wav, opts.out_file)
 
 
 def eval_ckpts(opts):
@@ -683,8 +702,13 @@ def main():
 
     se = sub.add_parser("serve-encode")
     se.add_argument("--export_dir", required=True)
-    se.add_argument("--in_wav", required=True)
-    se.add_argument("--out_file", required=True)
+    se.add_argument("--in_wav", default=None)
+    se.add_argument("--out_file", default=None)
+    se.add_argument("--wav_list", default=None,
+                    help="batch mode: file of wav paths (one per line); "
+                         "writes <out_dir>/<basename>.npy per wav")
+    se.add_argument("--files_root", default="")
+    se.add_argument("--out_dir", default=".")
 
     pe = sub.add_parser("prosodic-eval")
     pe.add_argument("--fe_cfg", required=True)
