@@ -131,6 +131,36 @@ def test_serving_guards(tmp_path):
         ServingEncoder(str(tmp_path / "bogus"))
 
 
+def test_export_serve_cli(tmp_path):
+    """util_scripts export-jax + serve-encode round trip, incl. the
+    --wav_list batch mode."""
+    import argparse
+    import util_scripts
+    from pase_tpu.data.io import write_wav
+    p = tmp_path / "fe.cfg"
+    p.write_text(json.dumps(CFG))
+    rng = np.random.RandomState(4)
+    for name, n in (("a", 1600), ("b", 2500)):
+        write_wav(str(tmp_path / f"{name}.wav"),
+                  (rng.randn(n) * 0.1).astype(np.float32))
+    (tmp_path / "list.txt").write_text("a.wav\nb.wav\n")
+    util_scripts.export_jax(argparse.Namespace(
+        fe_cfg=str(p), fe_ckpt=None, out_dir=str(tmp_path / "art"),
+        chunk_sizes="1600,3200", platforms="cpu", precision="highest",
+        weights_dtype=None))
+    util_scripts.serve_encode(argparse.Namespace(
+        export_dir=str(tmp_path / "art"), in_wav=str(tmp_path / "a.wav"),
+        out_file=str(tmp_path / "a.npy"), wav_list=None))
+    assert np.load(tmp_path / "a.npy").shape == (24, 10)
+    util_scripts.serve_encode(argparse.Namespace(
+        export_dir=str(tmp_path / "art"), in_wav=None, out_file=None,
+        wav_list=str(tmp_path / "list.txt"), files_root=str(tmp_path),
+        out_dir=str(tmp_path / "srv")))
+    np.testing.assert_array_equal(np.load(tmp_path / "srv" / "a.npy"),
+                                  np.load(tmp_path / "a.npy"))
+    assert np.load(tmp_path / "srv" / "b.npy").shape == (24, 2500 // 160)
+
+
 def test_serving_needs_no_model_code(tmp_path):
     """The consumer contract: a fresh process that never imports
     pase_tpu model code runs the artifact (jax + numpy + the tiny
