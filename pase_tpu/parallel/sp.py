@@ -28,10 +28,12 @@ Scheme (exact up to float reassociation):
   * W projection / dense-skip fusion / norm_out (bnorm) / tanh / VQ are
     frame-local.
 
-Not supported (raise): resblocks trunks, rnn_type != qrnn,
-InstanceNorm norm_out or per-block inorm/affinorm (they normalize over
-the WHOLE time axis — no sharded form is exact), GRU/LSTM context
-layers.
+Both trunk families shard: strided FeBlocks and the resblocks path
+(decimation + zero-padded stride-1 convs are window-local; odd kwidths
+keep the T/R frame grid). Not supported (raise): even resblock kwidths
+(length growth), rnn_type != qrnn, InstanceNorm norm_out or per-block
+inorm/affinorm (they normalize over the WHOLE time axis — no sharded
+form is exact), GRU/LSTM context layers.
 
 Like streaming.py, this module mirrors WaveFe.__call__ out of the same
 building blocks and must track any change to its pad/conv/QRNN
@@ -93,15 +95,31 @@ _inclusive_compose.defvjp(_ic_fwd, _ic_bwd)
 
 def time_shard_halo(module) -> int:
     """Trunk receptive extent in samples, rounded up to the total
-    stride R (+ one extra R of slack for the asymmetric SAME pads)."""
+    stride R (+ one extra R of slack for the asymmetric SAME pads).
+
+    Covers both trunk families: strided FeBlocks, and the resblocks
+    path (nearest decimation by the stride, then two stride-1 convs at
+    dilations (1, 2) — FeResBlock defaults, frontend.py resblocks
+    branch). Even resblock kwidths grow the sequence length (symmetric
+    zero pad of kw//2 per conv) and are rejected — the frame grid would
+    no longer be T/R (the reference's residual add crashes there too,
+    modules.py:936-1012)."""
     ext = 0
     cum = 1
-    for kw, st, dil in zip(module.kwidths, module.strides,
-                           module.dilations):
-        k = kw + 1 if (module.sincnet and cum == 1 and kw % 2 == 0) \
-            else kw
-        ext += (k - 1) * dil * cum
-        cum *= st
+    for i, (kw, st, dil) in enumerate(zip(module.kwidths, module.strides,
+                                          module.dilations)):
+        sinc = module.sincnet and i == 0
+        if getattr(module, "resblocks", False) and not sinc:
+            if kw % 2 == 0:
+                raise ValueError(
+                    "even resblock kwidths grow the sequence length; "
+                    "no time-sharded form")
+            cum *= st                      # decimate FIRST, convs after
+            ext += (kw - 1) * (1 + 2) * cum
+        else:
+            k = kw + 1 if (sinc and kw % 2 == 0) else kw
+            ext += (k - 1) * dil * cum
+            cum *= st
     R = int(np.prod(module.strides))
     return ((ext + R - 1) // R + 1) * R
 
@@ -128,15 +146,12 @@ def time_sharded_apply(module, variables, wav, mesh, axis: str = "data"):
     context-parallel gradients for long-sequence training
     (tests/test_sequence_parallel.py pins grad equality vs offline)."""
     from pase_tpu.frontend import WaveFe, pool_to, fuse_skip
-    from pase_tpu.nn import FeBlock
+    from pase_tpu.nn import FeBlock, FeResBlock
     from pase_tpu.precision import get_compute_dtype
 
     if not isinstance(module, WaveFe):
         raise TypeError("encode_time_sharded supports the WaveFe trunk "
                         f"(got {type(module).__name__})")
-    if module.resblocks:
-        raise NotImplementedError("time-sharded resblocks trunk not "
-                                  "implemented (use the offline path)")
     if module.rnn_pool and module.rnn_type != "qrnn":
         raise NotImplementedError(
             f"time-sharded rnn_type={module.rnn_type!r} not implemented")
@@ -169,11 +184,20 @@ def time_sharded_apply(module, variables, wav, mesh, axis: str = "data"):
     for i, (kw, st, dil, fm) in enumerate(zip(
             module.kwidths, module.strides, module.dilations,
             module.fmaps)):
-        blocks.append(FeBlock(
-            fmaps=fm, kwidth=kw, stride=st, dilation=dil,
-            pad_mode=module.pad_mode, act=module.activation,
-            norm_type=module.norm_type,
-            sincnet=module.sincnet and i == 0, sr=module.sr))
+        sinc = module.sincnet and i == 0
+        if module.resblocks and not sinc:
+            # residual trunk (frontend.py resblocks branch): decimation
+            # + zero-padded stride-1 convs are window-local, and odd
+            # kwidths (enforced by time_shard_halo) preserve the T/R
+            # frame grid, so the same halo scheme applies
+            blocks.append(FeResBlock(
+                fmaps=fm, kwidth=kw, downsample=st,
+                act=module.activation, norm_type=module.norm_type))
+        else:
+            blocks.append(FeBlock(
+                fmaps=fm, kwidth=kw, stride=st, dilation=dil,
+                pad_mode=module.pad_mode, act=module.activation,
+                norm_type=module.norm_type, sincnet=sinc, sr=module.sr))
 
     rnn_dim = module.rnn_dim if module.rnn_dim is not None \
         else module.emb_dim

@@ -90,15 +90,12 @@ def export_encoder(enc, out_dir: str,
     strides = getattr(module, "strides", None)
     hop = int(np.prod(strides)) if strides is not None else 160
     try:
-        if getattr(module, "resblocks", False):
-            # time_shard_halo's formula is for the plain FeBlock trunk;
-            # resblock chains (two convs/block + even-kwidth growth)
-            # would undercount — fall back to largest-bucket routing
-            raise ValueError("resblocks trunk")
         from pase_tpu.parallel.sp import time_shard_halo
         halo = int(time_shard_halo(module))   # trunk receptive extent
     except Exception:
-        halo = None   # unknown extent: loader always uses the largest
+        # unknown extent (non-WaveFe trunk, even resblock kwidths):
+        # the loader then always routes to the largest bucket (exact)
+        halo = None
     os.makedirs(out_dir, exist_ok=True)
     save_variables(
         os.path.join(out_dir, "params.npz"),

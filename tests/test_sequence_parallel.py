@@ -104,6 +104,33 @@ def test_time_sharded_gradients_equal_offline(tmp_path):
                                    err_msg=str(path))
 
 
+def test_time_sharded_resblocks(tmp_path):
+    """The residual trunk (shipped PASE+_resblocks_VQ8192.cfg topology,
+    shrunk): decimation + zero-padded stride-1 convs shard with the
+    same halo scheme; offline equality holds."""
+    cfg = {"kwidths": [65, 21, 11, 11], "strides": [1, 10, 4, 4],
+           "fmaps": [16, 16, 24, 24], "emb_dim": 24, "norm_out": True,
+           "rnn_pool": True, "rnn_dim": 24, "qrnn_impl": "scan",
+           "denseskips": True, "resblocks": True, "vq_K": 16}
+    p = tmp_path / "fe.cfg"
+    p.write_text(json.dumps(cfg))
+    enc = wf_builder(str(p))
+    enc.init()
+    mesh = get_mesh()
+    D = mesh.shape["data"]
+    H = time_shard_halo(enc.module)
+    assert H % 160 == 0
+    T = D * max(3200, 2 * H // max(D - 1, 1) + 320)
+    T = (T // (D * 160)) * (D * 160)
+    rng = np.random.RandomState(4)
+    wav = rng.randn(1, T).astype(np.float32) * 0.2
+
+    ref = _forward_offline(enc, wav)
+    got = np.asarray(jax.device_get(encode_time_sharded(enc, wav, mesh)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_time_sharded_vq_straight_through(tmp_path):
     """VQ cfgs: forward emits the quantized codes; grads pass straight
     through to the encoder params (identity STE), matching the offline
@@ -155,3 +182,10 @@ def test_time_sharded_guards(tmp_path):
     with pytest.raises(NotImplementedError, match="InstanceNorm"):
         encode_time_sharded(
             enc2, np.zeros((1, D * 3200), np.float32), mesh)
+    cfg = {"kwidths": [65, 20, 11, 11], "strides": [1, 10, 4, 4],
+           "fmaps": [16, 16, 24, 24], "emb_dim": 24, "resblocks": True}
+    p2 = tmp_path / "fe_even.cfg"
+    p2.write_text(json.dumps(cfg))
+    enc3 = wf_builder(str(p2))
+    with pytest.raises(ValueError, match="even resblock"):
+        time_shard_halo(enc3.module)
