@@ -46,11 +46,13 @@ def main():
     from pase_tpu.frontend import wf_builder
     from pase_tpu.serving import export_encoder, ServingEncoder
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fe_cfg = os.path.join(repo, "cfg", "frontend", "PASE+.cfg")
     platform = jax.devices()[0].platform
     results = {}
     for label, precision in (("highest", "highest"), ("default", None)):
         out = os.path.join(opts.out_dir, label)
-        enc = wf_builder("cfg/frontend/PASE+.cfg")
+        enc = wf_builder(fe_cfg)
         enc.init()
         export_encoder(enc, out, chunk_sizes=(opts.bucket,),
                        platforms=(platform,), precision=precision)

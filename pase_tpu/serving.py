@@ -97,12 +97,16 @@ def export_encoder(enc, out_dir: str,
         # the loader then always routes to the largest bucket (exact)
         halo = None
     os.makedirs(out_dir, exist_ok=True)
-    save_variables(
-        os.path.join(out_dir, "params.npz"),
-        jax.tree_util.tree_map(
+    if weights_dtype is not None:
+        # npz cannot hold bf16: store the quantized values upcast to f32
+        # (lossless round trip); the loader re-casts per meta
+        stored = jax.tree_util.tree_map(
             lambda x: np.asarray(jnp.asarray(x).astype(jnp.float32))
-            if _is_float(x) else x, variables),
-        extra={"serving": True})
+            if _is_float(x) else x, variables)
+    else:
+        stored = variables            # keep the training dtypes
+    save_variables(os.path.join(out_dir, "params.npz"), stored,
+                   extra={"serving": True})
 
     def fwd(params, wav):
         if weights_dtype is not None:

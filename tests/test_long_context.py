@@ -64,11 +64,13 @@ def test_forward_chunk_wav_list(tmp_path):
     import json
     from pase_tpu.data.io import write_wav
     rng = np.random.RandomState(1)
-    lens = {"a": 20000, "b": 33000}
+    # same basename under two dirs: outputs must NOT clobber
+    lens = {"spk1/a": 20000, "spk2/a": 33000}
     for name, n in lens.items():
+        (tmp_path / name).parent.mkdir(exist_ok=True)
         write_wav(str(tmp_path / f"{name}.wav"),
                   (rng.randn(n) * 0.1).astype(np.float32))
-    (tmp_path / "list.txt").write_text("a.wav\nb.wav\n")
+    (tmp_path / "list.txt").write_text("spk1/a.wav\nspk2/a.wav\n")
     fe = {"kwidths": [65, 10, 5, 5], "strides": [1, 10, 4, 4],
           "fmaps": [16, 16, 32, 32], "emb_dim": 32, "norm_out": True}
     with open(tmp_path / "fe.cfg", "w") as f:

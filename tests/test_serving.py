@@ -94,6 +94,32 @@ def test_export_symbolic_batch(tmp_path):
                                    atol=1e-6, rtol=1e-6)
 
 
+def test_resblocks_tail_routing(tmp_path):
+    """Resblocks exports record a real halo (time_shard_halo covers the
+    residual chain): a tail routed to a smaller covering bucket must
+    still equal the largest-bucket (forward-chunk) semantics."""
+    cfg = {"kwidths": [65, 21, 11, 11], "strides": [1, 10, 4, 4],
+           "fmaps": [16, 16, 24, 24], "emb_dim": 24, "norm_out": True,
+           "rnn_pool": True, "rnn_dim": 24, "qrnn_impl": "scan",
+           "resblocks": True}
+    p = tmp_path / "fe.cfg"
+    p.write_text(json.dumps(cfg))
+    enc = wf_builder(str(p))
+    enc.init()
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(8000, 16000), platforms=("cpu",))
+    srv = ServingEncoder(out)
+    assert srv.halo is not None
+    # tail of 800: 800 + halo fits the 8000 bucket -> smaller-bucket path
+    assert 800 + srv.halo <= 8000 < 16000
+    T = 16000 + 800
+    wav = (np.random.RandomState(6).randn(T) * 0.2).astype(np.float32)
+    got = srv.encode(wav)
+    ref = _offline_windowed(enc, wav, 16000)
+    assert got.shape == ref.shape == (24, T // 160)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_export_bf16_weights(tmp_path):
     """weights_dtype='bfloat16': features stay within bf16 weight
     rounding of the f32 artifact; meta records the quantization."""

@@ -20,6 +20,20 @@ import os
 import numpy as np
 
 
+def _encode_wav_list(opts, encode_fn):
+    """Shared --wav_list batch loop: one .npy per list entry under
+    --out_dir, PRESERVING each entry's relative path (basenames alone
+    would silently clobber spk1/utt.wav vs spk2/utt.wav)."""
+    out_dir = opts.out_dir or "."
+    with open(opts.wav_list) as f:
+        files = [ln.strip() for ln in f if ln.strip()]
+    for rel in files:
+        key = os.path.splitext(rel)[0].lstrip(os.sep)
+        out_file = os.path.join(out_dir, key + ".npy")
+        os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+        encode_fn(os.path.join(opts.files_root or "", rel), out_file)
+
+
 def forward_chunk(opts):
     import jax
     import jax.numpy as jnp
@@ -94,16 +108,9 @@ def forward_chunk(opts):
 
     if getattr(opts, "wav_list", None):
         # batch mode (the reference forward_chunk consumes file lists,
-        # util_scripts/forward_chunk.py:50-58): one .npy per input wav
-        # under --out_dir, same encode-mode flags, ONE encoder build
-        out_dir = opts.out_dir or "."
-        os.makedirs(out_dir, exist_ok=True)
-        with open(opts.wav_list) as f:
-            files = [ln.strip() for ln in f if ln.strip()]
-        for rel in files:
-            base = os.path.splitext(os.path.basename(rel))[0]
-            encode_one(os.path.join(opts.files_root or "", rel),
-                       os.path.join(out_dir, base + ".npy"))
+        # util_scripts/forward_chunk.py:50-58): same encode-mode flags,
+        # ONE encoder build for the whole list
+        _encode_wav_list(opts, encode_one)
         return
     encode_one(opts.in_wav, opts.out_file)
 
@@ -138,6 +145,11 @@ def serve_encode(opts):
     forward-chunk."""
     from pase_tpu.serving import ServingEncoder
     from pase_tpu.data.io import read_wav
+    if not getattr(opts, "wav_list", None) and not (
+            getattr(opts, "in_wav", None) and
+            getattr(opts, "out_file", None)):
+        raise SystemExit(
+            "serve-encode needs --in_wav + --out_file, or --wav_list")
     srv = ServingEncoder(opts.export_dir)
 
     def one(in_wav, out_file):
@@ -148,19 +160,8 @@ def serve_encode(opts):
               f"(buckets {srv.buckets})")
 
     if getattr(opts, "wav_list", None):
-        out_dir = opts.out_dir or "."
-        os.makedirs(out_dir, exist_ok=True)
-        with open(opts.wav_list) as f:
-            files = [ln.strip() for ln in f if ln.strip()]
-        for rel in files:
-            base = os.path.splitext(os.path.basename(rel))[0]
-            one(os.path.join(opts.files_root or "", rel),
-                os.path.join(out_dir, base + ".npy"))
+        _encode_wav_list(opts, one)
         return
-    if not (getattr(opts, "in_wav", None) and
-            getattr(opts, "out_file", None)):
-        raise SystemExit(
-            "serve-encode needs --in_wav + --out_file, or --wav_list")
     one(opts.in_wav, opts.out_file)
 
 
