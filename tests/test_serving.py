@@ -142,6 +142,23 @@ def test_export_bf16_weights(tmp_path):
         np.asarray(ServingEncoder(out16).encode(wav)), y16)
 
 
+def test_export_tdnn_family(tmp_path):
+    """The factory's alternate encoder families export too (TDNN here):
+    no recorded halo -> largest-bucket routing, exact vs module apply."""
+    enc = wf_builder("cfg/frontend/TDNN.cfg")
+    enc.init()
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(3200,), platforms=("cpu",))
+    srv = ServingEncoder(out)
+    assert srv.halo is None
+    wav = (np.random.RandomState(7).randn(3200) * 0.1).astype(np.float32)
+    got = srv.encode(wav)
+    ref = np.asarray(jax.device_get(
+        enc.module.apply(enc.variables, wav[None], train=False)))[0].T
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+
+
 def test_serving_guards(tmp_path):
     enc = _enc(tmp_path)
     out = str(tmp_path / "artifact")
