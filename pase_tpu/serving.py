@@ -198,10 +198,7 @@ class ServingEncoder:
         into the largest bucket (= the forward-chunk window semantics);
         without a recorded halo, only the largest bucket is exact."""
         T = wav.shape[1]
-        need = T if T == self.buckets[-1] else T + (
-            self.halo if self.halo is not None else self.buckets[-1])
-        bucket = next((b for b in self.buckets if b >= need),
-                      self.buckets[-1])
+        bucket = self._bucket_for(T)
         if T > bucket:
             raise ValueError(f"window {T} exceeds the largest bucket "
                              f"{self.buckets[-1]}")
@@ -209,6 +206,41 @@ class ServingEncoder:
             wav = np.pad(wav, ((0, 0), (0, bucket - T)))
         y = np.asarray(self._fns[bucket].call(self.params, wav))
         return y[:, :T // self.hop]
+
+    def _bucket_for(self, T: int) -> int:
+        """Smallest bucket whose zero-pad region provably covers every
+        kept frame's receptive field (see _run); falls back to the
+        largest bucket (always exact)."""
+        need = T if T == self.buckets[-1] else T + (
+            self.halo if self.halo is not None else self.buckets[-1])
+        return next((b for b in self.buckets if b >= need),
+                    self.buckets[-1])
+
+    def encode_batch(self, wavs) -> list:
+        """Encode a LIST of variable-length wavs, batching same-bucket
+        utterances through one exported call (the symbolic batch dim) —
+        the server-side throughput path. Each output equals
+        ``encode(wav)`` exactly; wavs longer than the largest bucket
+        fall back to the windowed single path.
+        Returns a list of [emb, F_i] arrays in input order."""
+        wavs = [np.asarray(w, np.float32) for w in wavs]
+        outs = [None] * len(wavs)
+        groups = {}
+        for i, w in enumerate(wavs):
+            if w.ndim != 1 or len(w) < self.hop:
+                raise ValueError(f"wav {i}: expected [T >= {self.hop}]")
+            if len(w) > self.buckets[-1]:
+                outs[i] = self.encode(w)       # windowed fallback
+            else:
+                groups.setdefault(self._bucket_for(len(w)), []).append(i)
+        for bucket, idxs in groups.items():
+            stack = np.stack([np.pad(wavs[i], (0, bucket - len(wavs[i])))
+                              for i in idxs])
+            y = np.asarray(self._fns[bucket].call(self.params, stack))
+            for row, i in enumerate(idxs):
+                outs[i] = np.transpose(
+                    y[row, :len(wavs[i]) // self.hop])
+        return outs
 
     def encode(self, wav) -> np.ndarray:
         wav = np.asarray(wav, np.float32)

@@ -142,6 +142,25 @@ def test_export_bf16_weights(tmp_path):
         np.asarray(ServingEncoder(out16).encode(wav)), y16)
 
 
+def test_encode_batch_matches_single(tmp_path):
+    """Server-side batching: variable-length wavs grouped by bucket and
+    run through one exported call must equal per-wav encode exactly;
+    over-length wavs fall back to the windowed path."""
+    enc = _enc(tmp_path)
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(1600, 3200), platforms=("cpu",))
+    srv = ServingEncoder(out)
+    rng = np.random.RandomState(8)
+    lens = [800, 960, 3200, 2000, 7000]       # mixed buckets + windowed
+    wavs = [(rng.randn(n) * 0.2).astype(np.float32) for n in lens]
+    outs = srv.encode_batch(wavs)
+    for w, o, n in zip(wavs, outs, lens):
+        assert o.shape == (24, n // 160)
+        np.testing.assert_array_equal(o, srv.encode(w))
+    with pytest.raises(ValueError, match="wav 0"):
+        srv.encode_batch([np.zeros((2, 1600), np.float32)])
+
+
 def test_export_tdnn_family(tmp_path):
     """The factory's alternate encoder families export too (TDNN here):
     no recorded halo -> largest-bucket routing, exact vs module apply."""

@@ -160,6 +160,27 @@ def serve_encode(opts):
               f"(buckets {srv.buckets})")
 
     if getattr(opts, "wav_list", None):
+        if getattr(opts, "batch_size", 1) > 1:
+            # server-side batching: same-bucket utterances go through
+            # one exported call (ServingEncoder.encode_batch)
+            out_dir = opts.out_dir or "."
+            with open(opts.wav_list) as f:
+                files = [ln.strip() for ln in f if ln.strip()]
+            bs = opts.batch_size
+            for beg in range(0, len(files), bs):
+                chunk_files = files[beg:beg + bs]
+                wavs = [read_wav(os.path.join(opts.files_root or "",
+                                              rel))[0]
+                        for rel in chunk_files]
+                outs = srv.encode_batch(wavs)
+                for rel, out in zip(chunk_files, outs):
+                    key = os.path.splitext(rel)[0].lstrip(os.sep)
+                    out_file = os.path.join(out_dir, key + ".npy")
+                    os.makedirs(os.path.dirname(out_file) or ".",
+                                exist_ok=True)
+                    np.save(out_file, out)
+                    print(f"{rel}: {out.shape} -> {out_file}")
+            return
         _encode_wav_list(opts, one)
         return
     one(opts.in_wav, opts.out_file)
@@ -710,6 +731,9 @@ def main():
                          "writes <out_dir>/<basename>.npy per wav")
     se.add_argument("--files_root", default="")
     se.add_argument("--out_dir", default=".")
+    se.add_argument("--batch_size", type=int, default=1,
+                    help=">1 batches same-bucket list entries through "
+                         "one exported call (server-side throughput)")
 
     pe = sub.add_parser("prosodic-eval")
     pe.add_argument("--fe_cfg", required=True)
