@@ -316,6 +316,26 @@ def chime5_cmd(opts):
                       for s in ("train", "valid", "test")))
 
 
+def iemocap_cmd(opts):
+    from pase_tpu.data.prep import iemocap_segment
+    counts = iemocap_segment(opts.iemocap_root, opts.out_dir)
+    for sess in sorted(counts):
+        total = sum(counts[sess].values())
+        print(f"{sess}: {total} utts " + json.dumps(counts[sess]))
+
+
+def arff_cmd(opts):
+    from pase_tpu.data.prep import arff_lld_to_npy
+    files = list(opts.arff_files or [])
+    if opts.arff_root:
+        for base, _, names in os.walk(opts.arff_root):
+            files += [os.path.join(base, n) for n in names
+                      if n.endswith(".arff")]
+    written = arff_lld_to_npy(sorted(files), out_stats=opts.out_stats)
+    print(f"Wrote {len(written)} npy files"
+          + (f" + stats {opts.out_stats}" if opts.out_stats else ""))
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -419,13 +439,30 @@ def main():
     c5.add_argument("--no_cut", action="store_true",
                     help="only write the cfg, do not cut segment wavs")
 
+    im = sub.add_parser("iemocap-segment",
+                        help="cut IEMOCAP sessions into per-class utt "
+                             "wavs (emorec/prepare_iemocap.py)")
+    im.add_argument("--iemocap_root", required=True,
+                    help="IEMOCAP_full_release dir holding Session1..5")
+    im.add_argument("--out_dir", required=True)
+
+    ar = sub.add_parser("arff-to-npy",
+                        help="openSMILE IS09 LLD ARFF -> npy features "
+                             "(emorec/arff2npy.py)")
+    ar.add_argument("--arff_root", default=None,
+                    help="walk this tree for .arff files")
+    ar.add_argument("--arff_files", default=None, nargs="+")
+    ar.add_argument("--out_stats", default=None,
+                    help="optional {'mean','std'} pickle over all frames")
+
     opts = p.parse_args()
     dispatch = {"build-cfg": build_cfg, "segment": segment,
                 "probe-lists": probe_lists, "vad-segment": vad_segment,
                 "ami-segment": ami_segment_cmd, "ami-cfg": ami_cfg_cmd,
                 "vctk-cfg": vctk_cfg_cmd, "rirs-cfg": rirs_cfg_cmd,
                 "voxceleb-lists": voxceleb_cmd,
-                "voxforge-lists": voxforge_cmd, "chime5-cfg": chime5_cmd}
+                "voxforge-lists": voxforge_cmd, "chime5-cfg": chime5_cmd,
+                "iemocap-segment": iemocap_cmd, "arff-to-npy": arff_cmd}
     dispatch[opts.cmd](opts)
 
 

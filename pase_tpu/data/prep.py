@@ -729,3 +729,166 @@ def chime5_data_cfg(ihm_dir: str, sdm_dir: str, out_dir: str,
                     (sig[b:e, 0] if sig.ndim > 1 else sig[b:e])
                 write_wav(out, piece, sr)
     return cfg
+
+
+# ---------------------------------------------------------------------------
+# IEMOCAP emotion-probe prep (emorec/prepare_iemocap.py)
+# ---------------------------------------------------------------------------
+
+_IEMO_KEEP = ("neu", "hap", "sad", "ang", "exc")
+_IEMO_LINE = re.compile(
+    r"^\[(\d+\.\d+)\s*-\s*(\d+\.\d+)\]\t(\S+)\t(\w{3})\t\[")
+
+
+def parse_emoevaluation(path: str) -> List[Tuple[float, float, str, str]]:
+    """Parse one IEMOCAP EmoEvaluation dialog file into
+    [(t_start, t_end, utt_id, emotion)] tuples.
+
+    The reference extracts the same fields with a single flattened-file
+    regex (prepare_iemocap.py:24-40 ``load_utterInfo``); per-line parsing
+    of the '[t0 - t1]\\tutt\\temo\\t[v, a, d]' header rows is equivalent
+    and keeps evaluator-comment lines out by construction."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            m = _IEMO_LINE.match(line.strip())
+            if m:
+                out.append((float(m.group(1)), float(m.group(2)),
+                            m.group(3), m.group(4)))
+    return out
+
+
+def iemocap_segment(iemocap_root: str, out_root: str,
+                    keep: Sequence[str] = _IEMO_KEEP) -> Dict[str, Dict]:
+    """Cut IEMOCAP session dialogs into per-utterance, per-class wavs.
+
+    Rebuilds emorec/prepare_iemocap.py:24-146: each Session*/dialog
+    EmoEvaluation file gives utterance windows inside the dialog's
+    stereo recording; the speaker-gender char of the utterance id picks
+    the channel (F -> left, M -> right; make5thWaves:46-52), only
+    ``keep`` emotions survive, and 'exc' folds into 'hap'
+    (save_wavFile:99-107). One decode per dialog (the reference re-reads
+    the recording per utterance). Output layout
+    ``<out>/session<k>/<label>/<utt>.wav`` is the directory-per-class
+    tree ``data_prep.py probe-lists --class_from dirname`` consumes
+    (--holdout session5 reproduces the leave-session-out split).
+
+    Returns {'session<k>': {emotion: count}} (count_emotion:79-92).
+    """
+    counts: Dict[str, Dict[str, int]] = {}
+    sessions = sorted(d for d in os.listdir(iemocap_root)
+                      if d.lower().startswith("session") and
+                      os.path.isdir(os.path.join(iemocap_root, d)))
+    for sess in sessions:
+        k = re.sub(r"\D", "", sess) or sess
+        sess_out = f"session{k}"
+        counts[sess_out] = {}
+        emo_dir = os.path.join(iemocap_root, sess, "dialog",
+                               "EmoEvaluation")
+        wav_dir = os.path.join(iemocap_root, sess, "dialog", "wav")
+        if not os.path.isdir(emo_dir):
+            continue
+        for emof in sorted(os.listdir(emo_dir)):
+            epath = os.path.join(emo_dir, emof)
+            if not (os.path.isfile(epath) and emof.endswith(".txt")):
+                continue
+            wpath = os.path.join(wav_dir, os.path.splitext(emof)[0] +
+                                 ".wav")
+            if not os.path.exists(wpath):
+                continue
+            sig, sr = read_wav_channels(wpath)
+            for t0, t1, utt, emo in parse_emoevaluation(epath):
+                if emo not in keep:
+                    continue
+                counts[sess_out][emo] = counts[sess_out].get(emo, 0) + 1
+                b, e = int(np.ceil(t0 * sr)), int(np.ceil(t1 * sr))
+                if sig.ndim > 1:
+                    chan = 0 if utt.split("_")[-1][:1] == "F" else 1
+                    piece = sig[b:e, min(chan, sig.shape[1] - 1)]
+                else:
+                    piece = sig[b:e]
+                if piece.size == 0:
+                    continue
+                label = "hap" if emo == "exc" else emo
+                dest = os.path.join(out_root, sess_out, label)
+                os.makedirs(dest, exist_ok=True)
+                write_wav(os.path.join(dest, utt + ".wav"), piece, sr)
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# openSMILE ARFF LLD -> npy (emorec/arff2npy.py, IS09 emotion baseline)
+# ---------------------------------------------------------------------------
+
+def read_arff(path: str) -> Tuple[List[str], np.ndarray]:
+    """Minimal ARFF reader (the numeric-LLD subset openSMILE emits):
+    returns (attribute names, [frames, attrs] object array). Replaces the
+    ``arff`` package dependency (arff2npy.py:1,13-14); string cells
+    (utterance name, class) stay as python strings."""
+    attrs: List[str] = []
+    rows: List[list] = []
+    in_data = False
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("%"):
+                continue
+            low = line.lower()
+            if low.startswith("@attribute"):
+                name = line.split(None, 2)[1].strip("'\"")
+                attrs.append(name)
+            elif low.startswith("@data"):
+                in_data = True
+            elif in_data:
+                cells = []
+                for c in line.split(","):
+                    c = c.strip().strip("'\"")
+                    try:
+                        cells.append(float(c))
+                    except ValueError:
+                        cells.append(c)
+                rows.append(cells)
+    return attrs, np.array(rows, dtype=object)
+
+
+def _interp_sentinel(x: np.ndarray, sentinel: float = -1e10) -> np.ndarray:
+    """Host-side ahoproc interpolation semantics (shared with
+    ops/features._interpolate_unvoiced): linear across sentinel gaps,
+    edge frames hold the nearest valid value."""
+    voiced = x > sentinel / 2
+    if not voiced.any() or voiced.all():
+        return x
+    idx = np.arange(len(x))
+    return np.interp(idx, idx[voiced], x[voiced]).astype(x.dtype)
+
+
+def arff_lld_to_npy(arff_files: Sequence[str],
+                    out_stats: Optional[str] = None) -> List[str]:
+    """openSMILE IS09 frame-level LLD ARFFs -> per-file ``.npy`` feature
+    matrices, transposed to [feats, frames] (the emotion baseline's input
+    layout), plus an optional {'mean','std'} stats pickle over all frames.
+
+    Rebuilds emorec/arff2npy.py:10-39: the leading name/frameTime
+    attributes and trailing class column are dropped, F0_sma is logged
+    with -1e10 marking unvoiced frames and then linearly interpolated
+    across them. Returns the written .npy paths."""
+    import pickle
+    written, all_frames = [], []
+    for afile in arff_files:
+        attrs, data = read_arff(afile)
+        f0_idx = attrs.index("F0_sma")
+        feat = data[:, 2:-1].astype(np.float32)
+        f0 = feat[:, f0_idx - 2]
+        lf0 = np.where(f0 > 0, np.log(np.maximum(f0, 1e-12)), -1e10)
+        feat[:, f0_idx - 2] = _interp_sentinel(lf0.astype(np.float32))
+        if out_stats is not None:
+            all_frames.append(feat)
+        npy_path = os.path.splitext(afile)[0] + ".npy"
+        np.save(npy_path, feat.T)
+        written.append(npy_path)
+    if out_stats is not None and all_frames:
+        x = np.concatenate(all_frames, axis=0)
+        with open(out_stats, "wb") as f:
+            pickle.dump({"mean": np.mean(x, axis=0),
+                         "std": np.std(x, axis=0)}, f)
+    return written
