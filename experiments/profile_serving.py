@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--out_dir", default="/tmp/pase_serving_bench")
     ap.add_argument("--force_cpu", action="store_true", default=False,
                     help="run on CPU (smoke test / tunnel outage)")
+    ap.add_argument("--streaming_chunk", type=int, default=16000,
+                    help="also probe the streaming artifact's steady-"
+                         "state step rate at this chunk (0 disables)")
     opts = ap.parse_args()
 
     import jax
@@ -79,6 +82,40 @@ def main():
         print(f"{label}: {dt * 1e3:.2f} ms / batch-{opts.batch} x "
               f"{opts.bucket / 16000:.1f}s -> "
               f"{audio_s / dt:.0f} audio-s/s ({platform})")
+    if opts.streaming_chunk:
+        # online path: sustained steady-state step rate of the
+        # prime/step/flush artifact (the latency-bound deployment).
+        # real-time factor = (chunk seconds) / (step wall time)
+        from pase_tpu.serving import (export_streaming_encoder,
+                                      ServingStreamingEncoder)
+        out = os.path.join(opts.out_dir, "streaming")
+        enc = wf_builder(fe_cfg)
+        enc.init()
+        export_streaming_encoder(enc, out, chunk=opts.streaming_chunk,
+                                 platforms=(platform,))
+        srv = ServingStreamingEncoder(out)
+        wav = np.random.RandomState(0).randn(
+            opts.batch, opts.streaming_chunk).astype(np.float32) * 0.1
+        srv.reset()
+        srv.push(wav)                          # prime (+ compile)
+        for _ in range(opts.warm):
+            srv.push(wav)
+        t0 = time.perf_counter()
+        for _ in range(opts.iters):
+            y = srv.push(wav)
+            float(y[0, 0, 0])                  # host sync
+        dt = (time.perf_counter() - t0) / opts.iters
+        chunk_s = opts.streaming_chunk / 16000.0
+        # each of the `batch` concurrent streams advances chunk_s
+        # seconds per dt-wall step -> per-stream realtime factor
+        results["streaming"] = {
+            "chunk_s": chunk_s, "ms_per_step": dt * 1e3,
+            "rtf_per_stream": chunk_s / dt,
+            "audio_s_per_s": opts.batch * chunk_s / dt}
+        print(f"streaming: {dt * 1e3:.2f} ms / step "
+              f"(batch {opts.batch} x {chunk_s:.1f}s) -> "
+              f"{opts.batch * chunk_s / dt:.0f} audio-s/s, "
+              f"{chunk_s / dt:.1f}x realtime per stream")
     print(json.dumps({"platform": platform, "batch": opts.batch,
                       "bucket": opts.bucket, **results}))
 

@@ -44,6 +44,12 @@ def __getattr__(name):
     if name == "export_encoder":
         from pase_tpu.serving import export_encoder
         return export_encoder
+    if name == "ServingStreamingEncoder":
+        from pase_tpu.serving import ServingStreamingEncoder
+        return ServingStreamingEncoder
+    if name == "export_streaming_encoder":
+        from pase_tpu.serving import export_streaming_encoder
+        return export_streaming_encoder
     if name == "encode_time_sharded":
         from pase_tpu.parallel.sp import encode_time_sharded
         return encode_time_sharded
@@ -61,5 +67,7 @@ __all__ = [
     "StreamingEncoder",
     "ServingEncoder",
     "export_encoder",
+    "ServingStreamingEncoder",
+    "export_streaming_encoder",
     "encode_time_sharded",
 ]

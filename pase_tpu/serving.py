@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from pase_tpu.checkpoint import save_variables, load_variables
 
-__all__ = ["export_encoder", "ServingEncoder"]
+__all__ = ["export_encoder", "ServingEncoder",
+           "export_streaming_encoder", "ServingStreamingEncoder"]
 
 
 def _plain(tree):
@@ -256,3 +257,238 @@ class ServingEncoder:
         y = np.concatenate(outs, axis=1)          # [B, F, emb] (NTC)
         y = np.transpose(y, (0, 2, 1))            # public [B, emb, F]
         return y[0] if squeeze else y
+
+
+# ---------------------------------------------------------------------------
+# Streaming serving: the exact online encoder as an explicit-state artifact
+# ---------------------------------------------------------------------------
+
+class _VarShim:
+    """Minimal (module, variables) pair StreamingEncoder accepts — lets the
+    exporter build the stream machinery around TRACED weight arguments so
+    the serialized graphs stay weight-free (params travel via params.npz,
+    exactly like the offline artifact)."""
+
+    def __init__(self, module, variables):
+        self.module = module
+        self.variables = variables
+
+
+def export_streaming_encoder(enc, out_dir: str, chunk: int = 16000,
+                             platforms: Sequence[str] = ("cpu", "tpu"),
+                             precision: Optional[str] = "highest",
+                             weights_dtype: Optional[str] = None) -> str:
+    """Export the EXACT online encoder (pase_tpu/streaming.py) as three
+    StableHLO step graphs with the FIFO/carry state as explicit arrays:
+
+      * ``prime(params, wav[b, chunk]) -> (state, frames)`` — first chunk:
+        injects the per-layer left reflect pads and fills the FIFOs;
+      * ``step(params, state, wav[b, chunk]) -> (state, frames)`` — the
+        steady-state graph, reused for every subsequent chunk;
+      * ``flush(params, state) -> frames`` — end-of-stream: synthesizes
+        the right pads and drains every FIFO.
+
+    The reference has no streaming story at all (its closest tool
+    re-forwards overlapping windows, util_scripts/forward_chunk.py); this
+    artifact serves the 74 ms-lookahead online encoder from any jax+numpy
+    host with no model code, complementing the offline bucket artifact
+    (``export_encoder``). Feeding chunks of ``chunk`` samples and
+    concatenating prime/step/flush emissions is bit-equal to the in-
+    process ``StreamingEncoder`` and matches the offline whole-utterance
+    forward (tests/test_serving_streaming.py).
+
+    Shape policy: jax.export demands static shapes, and the streaming
+    FIFO lengths are only CONSTANT once the stream is in its steady
+    state, so ``chunk`` must (a) be a multiple of prod(strides) and
+    (b) be large enough that one chunk primes every layer — both checked
+    here via jax.eval_shape (a too-small chunk raises). The batch dim is
+    symbolic, but must stay constant over a stream (the state carries it).
+
+    The QRNN pooling is pinned to the scan ForgetMult so ONE graph serves
+    both cpu and tpu (the Pallas kernel only lowers for TPU; the two
+    impls agree to float noise and the artifact's contract is the
+    'highest'-precision extraction one anyway).
+    """
+    from jax import export as jexport
+    from pase_tpu.streaming import StreamingEncoder
+
+    module = enc.module
+    variables = _plain(enc.variables)
+    # same quantization story as export_encoder
+    def _is_float(x):
+        return jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+    if weights_dtype is not None:
+        wd = jnp.dtype(weights_dtype)
+        variables = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x).astype(wd) if _is_float(x) else x,
+            variables)
+        stored = jax.tree_util.tree_map(
+            lambda x: np.asarray(jnp.asarray(x).astype(jnp.float32))
+            if _is_float(x) else x, variables)
+    else:
+        stored = variables
+    strides = getattr(module, "strides", None)
+    hop = int(np.prod(strides)) if strides is not None else 160
+    if chunk % hop:
+        raise ValueError(f"streaming chunk {chunk} must divide the total "
+                         f"stride {hop}")
+    emb = getattr(module, "output_dim", None)
+    if not isinstance(emb, (int, np.integer)):
+        emb = module.emb_dim
+
+    def _upcast(params):
+        if weights_dtype is None:
+            return params
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32) if _is_float(x) else x, params)
+
+    def _pack(y, b):
+        return jnp.zeros((b, emb, 0), jnp.float32) if y is None else y
+
+    def prime(params, wav):
+        se = StreamingEncoder(_VarShim(module, _upcast(params)),
+                              qrnn_impl="scan")
+        y = se.push(wav)
+        return se.get_state(), _pack(y, wav.shape[0])
+
+    def stepf(params, state, wav):
+        se = StreamingEncoder(_VarShim(module, _upcast(params)),
+                              qrnn_impl="scan")
+        se.set_state(state)
+        y = se.push(wav)
+        return se.get_state(), _pack(y, wav.shape[0])
+
+    def flushf(params, state):
+        se = StreamingEncoder(_VarShim(module, _upcast(params)),
+                              qrnn_impl="scan")
+        se.set_state(state)
+        y = se.flush()
+        return _pack(y, state["y_fifo"].shape[0])
+
+    pspecs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        variables)
+    b, = jexport.symbolic_shape("b")
+    wspec = jax.ShapeDtypeStruct((b, chunk), jnp.float32)
+
+    # steady-state certification: the state signature out of prime must be
+    # a fixed point of step (same pytree, same shapes) — otherwise the
+    # exported step graph could not feed itself
+    def _sig(tree):
+        return jax.tree_util.tree_map(
+            lambda x: (tuple(str(d) for d in x.shape), str(x.dtype)), tree)
+    st0, y0 = jax.eval_shape(prime, pspecs, wspec)
+    st1, y1 = jax.eval_shape(stepf, pspecs, st0, wspec)
+    if _sig(st0) != _sig(st1) or int(y1.shape[2]) == 0:
+        raise ValueError(
+            f"streaming chunk {chunk} is too small to reach the steady "
+            "state in one push (a layer FIFO is still filling); use a "
+            "larger chunk")
+    yf = jax.eval_shape(flushf, pspecs, st0)
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_variables(os.path.join(out_dir, "params.npz"), stored,
+                   extra={"serving": True})
+    ctx = jax.default_matmul_precision(precision) if precision \
+        else contextlib.nullcontext()
+    with ctx:
+        for name, fn, args in (
+                ("prime", prime, (pspecs, wspec)),
+                ("step", stepf, (pspecs, st0, wspec)),
+                ("flush", flushf, (pspecs, st0))):
+            exp = jexport.export(jax.jit(fn),
+                                 platforms=tuple(platforms))(*args)
+            with open(os.path.join(
+                    out_dir, f"streaming_{name}_C{chunk}.jaxexp"),
+                    "wb") as f:
+                f.write(exp.serialize())
+
+    meta = {
+        "format": "pase_tpu.serving.streaming/1",
+        "chunk": int(chunk),
+        "hop": hop,
+        "emb_dim": int(emb),
+        "sr": int(getattr(module, "sr", 16000)),
+        "platforms": list(platforms),
+        "precision": precision,
+        "weights_dtype": weights_dtype,
+        "jax_version": jax.__version__,
+        "prime_frames": int(y0.shape[2]),
+        "step_frames": int(y1.shape[2]),
+        "flush_frames": int(yf.shape[2]),
+    }
+    with open(os.path.join(out_dir, "meta_streaming.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+class ServingStreamingEncoder:
+    """Drive an ``export_streaming_encoder`` artifact: a stateful online
+    encoder needing only jax + numpy (no model code, no cfg).
+
+    ``push(wav)`` takes exactly ``chunk`` samples ([chunk] or [B, chunk];
+    B must stay constant over a stream) and returns the newly computable
+    frames as [B, emb, m] (m is prime_frames on the first push,
+    step_frames after); ``flush()`` returns the tail frames and ends the
+    stream; ``reset()`` starts a new one. Total emitted frames over
+    prime+steps+flush equal the offline forward of the concatenated
+    waveform, frame for frame.
+    """
+
+    def __init__(self, export_dir: str):
+        from jax import export as jexport
+        with open(os.path.join(export_dir, "meta_streaming.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("format") != "pase_tpu.serving.streaming/1":
+            raise ValueError(
+                f"not a pase_tpu streaming serving artifact: {export_dir}")
+        self.chunk = int(self.meta["chunk"])
+        self.params, _ = load_variables(
+            os.path.join(export_dir, "params.npz"))
+        self.params = _plain(self.params)
+        wd = self.meta.get("weights_dtype")
+        if wd is not None:
+            wdt = jnp.dtype(wd)
+            self.params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x).astype(wdt)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                else x, self.params)
+        self._fns = {}
+        for name in ("prime", "step", "flush"):
+            path = os.path.join(
+                export_dir, f"streaming_{name}_C{self.chunk}.jaxexp")
+            with open(path, "rb") as f:
+                self._fns[name] = jexport.deserialize(f.read())
+        self._state = None
+        self._done = False
+
+    def reset(self):
+        self._state = None
+        self._done = False
+
+    def _chunked(self, wav) -> np.ndarray:
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim == 1:
+            wav = wav[None]
+        if wav.ndim != 2 or wav.shape[1] != self.chunk:
+            raise ValueError(f"push wants [B, {self.chunk}] or "
+                             f"[{self.chunk}], got {wav.shape}")
+        return wav
+
+    def push(self, wav) -> np.ndarray:
+        if self._done:
+            raise RuntimeError("stream flushed; call reset() first")
+        wav = self._chunked(wav)
+        if self._state is None:
+            self._state, y = self._fns["prime"].call(self.params, wav)
+        else:
+            self._state, y = self._fns["step"].call(
+                self.params, self._state, wav)
+        return np.asarray(y)
+
+    def flush(self) -> np.ndarray:
+        if self._state is None:
+            raise RuntimeError("nothing pushed yet")
+        self._done = True
+        return np.asarray(self._fns["flush"].call(self.params,
+                                                  self._state))

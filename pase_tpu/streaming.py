@@ -165,6 +165,14 @@ class _ConvStream:
             self.started = True
         return self._emit(final=False)
 
+    def get_state(self):
+        return {"buf": self.buf}
+
+    def set_state(self, st):
+        """Restore a primed stream (the left pad was already injected)."""
+        self.buf = st["buf"]
+        self.started = True
+
     def flush(self):
         if self.buf is None:
             return None
@@ -193,6 +201,12 @@ class _PoolStream:
         self.factor = factor
         self.buf = None
 
+    def get_state(self):
+        return {"buf": self.buf}
+
+    def set_state(self, st):
+        self.buf = st["buf"]
+
     def push(self, x):
         if x is None or x.shape[1] == 0:
             return None
@@ -219,6 +233,12 @@ class _DecimStream:
     def __init__(self, factor: int):
         self.factor = factor
         self.buf = None
+
+    def get_state(self):
+        return {"buf": self.buf}
+
+    def set_state(self, st):
+        self.buf = st["buf"]
 
     def push(self, x):
         if x is None or x.shape[1] == 0:
@@ -385,6 +405,19 @@ class _ResBlockStream:
             y = self.norm2(y)
         return y
 
+    def get_state(self):
+        return {"decim": self.decim.get_state(),
+                "conv1": self.conv1.get_state(),
+                "conv2": self.conv2.get_state(),
+                "id_fifo": self.id_fifo, "h_fifo": self.h_fifo}
+
+    def set_state(self, st):
+        self.decim.set_state(st["decim"])
+        self.conv1.set_state(st["conv1"])
+        self.conv2.set_state(st["conv2"])
+        self.id_fifo = st["id_fifo"]
+        self.h_fifo = st["h_fifo"]
+
     def push(self, x):
         if x is None or x.shape[1] == 0:
             return None
@@ -412,6 +445,13 @@ class _QRNNStream:
             impl = "pallas" if pallas_available() else "scan"
         self.impl = impl
 
+    def get_state(self):
+        return {"prev": list(self.prev), "carry": list(self.carry)}
+
+    def set_state(self, st):
+        self.prev = list(st["prev"])
+        self.carry = list(st["carry"])
+
     def push(self, h):
         if h is None or h.shape[1] == 0:
             return None
@@ -435,7 +475,7 @@ class StreamingEncoder:
     computable yet. Call ``flush()`` once at end-of-stream.
     """
 
-    def __init__(self, encoder):
+    def __init__(self, encoder, qrnn_impl=None):
         from pase_tpu.frontend import WaveFe
         module = encoder.module
         if not isinstance(module, WaveFe):
@@ -512,8 +552,8 @@ class StreamingEncoder:
                 raise NotImplementedError(
                     f"streaming rnn_type={module.rnn_type!r} not implemented")
             self.qrnn = _QRNNStream(params["rnn"], module.rnn_layers,
-                                    impl=getattr(module, "qrnn_impl",
-                                                 "auto"))
+                                    impl=qrnn_impl or
+                                    getattr(module, "qrnn_impl", "auto"))
 
         self.w_kernel = jnp.asarray(params["W"]["kernel"])
         self.w_bias = jnp.asarray(params["W"]["bias"])
@@ -610,6 +650,33 @@ class StreamingEncoder:
         h = self._blocks(wav, flush)
         self.y_fifo = _tcat(self.y_fifo, self._tail(h))
         return self._fuse()
+
+    def get_state(self):
+        """Snapshot every FIFO/carry as a pytree of arrays (Nones where a
+        stage is stateless). With ``set_state`` this makes the whole
+        encoder a PURE step function — the basis of the exported
+        streaming serving artifact (serving.export_streaming_encoder):
+        state/emission shapes are constant once the stream reaches its
+        steady state (fixed chunk size divisible by prod(strides))."""
+        return {
+            "convs": [cs.get_state() for cs in self.conv_streams],
+            "skip_pools": [p.get_state() for p in self.skip_pools],
+            "skip_fifos": list(self.skip_fifos),
+            "qrnn": None if self.qrnn is None else self.qrnn.get_state(),
+            "y_fifo": self.y_fifo,
+        }
+
+    def set_state(self, st):
+        """Restore a ``get_state`` snapshot taken AFTER the first push
+        (all layers primed: left pads injected, every FIFO realized)."""
+        for cs, s in zip(self.conv_streams, st["convs"]):
+            cs.set_state(s)
+        for p, s in zip(self.skip_pools, st["skip_pools"]):
+            p.set_state(s)
+        self.skip_fifos = list(st["skip_fifos"])
+        if self.qrnn is not None:
+            self.qrnn.set_state(st["qrnn"])
+        self.y_fifo = st["y_fifo"]
 
     def push(self, wav):
         """Feed new waveform samples; returns [B, emb, m] or None."""

@@ -137,27 +137,59 @@ def export_jax(opts):
     n = len(glob.glob(os.path.join(opts.out_dir, "encoder_T*.jaxexp")))
     print(f"exported {n} bucket(s) {chunk_sizes} for "
           f"{opts.platforms} -> {opts.out_dir}")
+    if getattr(opts, "streaming_chunk", None):
+        from pase_tpu.serving import export_streaming_encoder
+        export_streaming_encoder(
+            enc, opts.out_dir, chunk=int(opts.streaming_chunk),
+            platforms=tuple(opts.platforms.split(",")),
+            precision=precision,
+            weights_dtype=getattr(opts, "weights_dtype", None))
+        print(f"exported streaming prime/step/flush graphs "
+              f"(chunk {opts.streaming_chunk}) -> {opts.out_dir}")
 
 
 def serve_encode(opts):
     """Encode wav(s) with an export-jax artifact (no model code/cfg):
     same [emb, F] .npy contract (and --wav_list batch mode) as
     forward-chunk."""
-    from pase_tpu.serving import ServingEncoder
+    from pase_tpu.serving import ServingEncoder, ServingStreamingEncoder
     from pase_tpu.data.io import read_wav
     if not getattr(opts, "wav_list", None) and not (
             getattr(opts, "in_wav", None) and
             getattr(opts, "out_file", None)):
         raise SystemExit(
             "serve-encode needs --in_wav + --out_file, or --wav_list")
-    srv = ServingEncoder(opts.export_dir)
+    if getattr(opts, "streaming", False):
+        # online path: prime/step/flush graphs, state carried between
+        # chunks; zero-padded tail trimmed to len//hop (the same
+        # pad-and-trim window contract as the offline bucket path)
+        if getattr(opts, "batch_size", 1) > 1:
+            raise SystemExit("--streaming does not batch a wav list; "
+                             "stream each file (batch_size 1)")
+        srv = ServingStreamingEncoder(opts.export_dir)
+        hop = int(srv.meta["hop"])
 
-    def one(in_wav, out_file):
-        wav, sr = read_wav(in_wav)
-        out = srv.encode(wav)
-        np.save(out_file, out)
-        print(f"{in_wav}: {out.shape} -> {out_file} "
-              f"(buckets {srv.buckets})")
+        def one(in_wav, out_file):
+            wav, sr = read_wav(in_wav)
+            c = srv.chunk
+            pad = (-len(wav)) % c
+            padded = np.pad(wav, (0, pad)) if pad else wav
+            srv.reset()
+            ys = [srv.push(padded[i:i + c])
+                  for i in range(0, len(padded), c)] + [srv.flush()]
+            out = np.concatenate(ys, axis=2)[0][:, :len(wav) // hop]
+            np.save(out_file, out)
+            print(f"{in_wav}: {out.shape} -> {out_file} "
+                  f"(streaming chunk {c})")
+    else:
+        srv = ServingEncoder(opts.export_dir)
+
+        def one(in_wav, out_file):
+            wav, sr = read_wav(in_wav)
+            out = srv.encode(wav)
+            np.save(out_file, out)
+            print(f"{in_wav}: {out.shape} -> {out_file} "
+                  f"(buckets {srv.buckets})")
 
     if getattr(opts, "wav_list", None):
         if getattr(opts, "batch_size", 1) > 1:
@@ -721,6 +753,10 @@ def main():
                     help="quantize weights, e.g. bfloat16 (halves "
                          "serving-time weight HBM traffic; compute "
                          "upcasts to f32 in-graph)")
+    ej.add_argument("--streaming_chunk", type=int, default=None,
+                    help="also export the EXACT online encoder as "
+                         "prime/step/flush graphs with explicit FIFO "
+                         "state, at this fixed chunk size (samples)")
 
     se = sub.add_parser("serve-encode")
     se.add_argument("--export_dir", required=True)
@@ -734,6 +770,9 @@ def main():
     se.add_argument("--batch_size", type=int, default=1,
                     help=">1 batches same-bucket list entries through "
                          "one exported call (server-side throughput)")
+    se.add_argument("--streaming", action="store_true",
+                    help="drive the streaming (prime/step/flush) "
+                         "artifact instead of the offline buckets")
 
     pe = sub.add_parser("prosodic-eval")
     pe.add_argument("--fe_cfg", required=True)
