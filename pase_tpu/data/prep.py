@@ -800,7 +800,6 @@ def iemocap_segment(iemocap_root: str, out_root: str,
             for t0, t1, utt, emo in parse_emoevaluation(epath):
                 if emo not in keep:
                     continue
-                counts[sess_out][emo] = counts[sess_out].get(emo, 0) + 1
                 b, e = int(np.ceil(t0 * sr)), int(np.ceil(t1 * sr))
                 if sig.ndim > 1:
                     chan = 0 if utt.split("_")[-1][:1] == "F" else 1
@@ -813,6 +812,10 @@ def iemocap_segment(iemocap_root: str, out_root: str,
                 dest = os.path.join(out_root, sess_out, label)
                 os.makedirs(dest, exist_ok=True)
                 write_wav(os.path.join(dest, utt + ".wav"), piece, sr)
+                # count only utterances actually written (a zero-length
+                # annotation window writes no wav and must not inflate
+                # the per-class tallies)
+                counts[sess_out][emo] = counts[sess_out].get(emo, 0) + 1
     return counts
 
 
@@ -871,7 +874,14 @@ def arff_lld_to_npy(arff_files: Sequence[str],
     Rebuilds emorec/arff2npy.py:10-39: the leading name/frameTime
     attributes and trailing class column are dropped, F0_sma is logged
     with -1e10 marking unvoiced frames and then linearly interpolated
-    across them. Returns the written .npy paths."""
+    across them. Returns the written .npy paths.
+
+    Deliberate divergence: the reference interpolates ``array[:, -1]``
+    (arff2npy.py:28-29), i.e. whatever LLD happens to sit last before
+    the class column — correct only for the shipped IS09 config where
+    F0_sma is that column. Here the F0 column is located by attribute
+    NAME, so configs with extra/appended LLDs (e.g. deltas) still
+    interpolate the actual F0 track instead of an arbitrary one."""
     import pickle
     written, all_frames = [], []
     for afile in arff_files:

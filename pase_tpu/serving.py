@@ -345,18 +345,30 @@ def export_streaming_encoder(enc, out_dir: str, chunk: int = 16000,
     def _pack(y, b):
         return jnp.zeros((b, emb, 0), jnp.float32) if y is None else y
 
+    def _arrays_only(st):
+        """Drop host-side snapshot bools (_ConvStream 'started') from the
+        exported state pytree: the artifact is post-prime by construction
+        (steady-state fixpoint check below), where started is always
+        True — set_state defaults it when the key is absent."""
+        if isinstance(st, dict):
+            return {k: _arrays_only(v) for k, v in st.items()
+                    if k != "started"}
+        if isinstance(st, list):
+            return [_arrays_only(v) for v in st]
+        return st
+
     def prime(params, wav):
         se = StreamingEncoder(_VarShim(module, _upcast(params)),
                               qrnn_impl="scan")
         y = se.push(wav)
-        return se.get_state(), _pack(y, wav.shape[0])
+        return _arrays_only(se.get_state()), _pack(y, wav.shape[0])
 
     def stepf(params, state, wav):
         se = StreamingEncoder(_VarShim(module, _upcast(params)),
                               qrnn_impl="scan")
         se.set_state(state)
         y = se.push(wav)
-        return se.get_state(), _pack(y, wav.shape[0])
+        return _arrays_only(se.get_state()), _pack(y, wav.shape[0])
 
     def flushf(params, state):
         se = StreamingEncoder(_VarShim(module, _upcast(params)),

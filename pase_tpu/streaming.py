@@ -166,12 +166,17 @@ class _ConvStream:
         return self._emit(final=False)
 
     def get_state(self):
-        return {"buf": self.buf}
+        # 'started' is a host-side bool (pre-prime restores previously
+        # mis-encoded: set_state assumed the left pad was injected).
+        # The serving export strips it — post-prime it is always True.
+        return {"buf": self.buf, "started": self.started}
 
     def set_state(self, st):
-        """Restore a primed stream (the left pad was already injected)."""
+        """Restore a snapshot. Legacy/exported snapshots carry no
+        'started' key; those are post-prime by construction (the left
+        pad was already injected), so it defaults to True."""
         self.buf = st["buf"]
-        self.started = True
+        self.started = bool(st.get("started", True))
 
     def flush(self):
         if self.buf is None:

@@ -474,11 +474,21 @@ class Trainer:
                 variables = {"params": state.params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
-                h, chunk, preds, labels = model.apply(
+                (h, chunk, preds, labels), ups = model.apply(
                     variables, batch, 1.0, train=False,
-                    rngs={"sample": k_sample})
+                    rngs={"sample": k_sample}, mutable=["intermediates"])
                 losses = worker_losses(meta, preds, labels)
                 losses["total"] = sum(losses.values())
+                # VQ commitment term: eval measures the SAME objective as
+                # the train step (which adds sown vq_loss to its total) —
+                # otherwise epoch eval can improve while codebook
+                # commitment degrades (core.py VQ loss aggregation)
+                from pase_tpu.model import collect_sown
+                vq = collect_sown(ups, "vq_loss")
+                if vq:
+                    vq_total = sum(vq)
+                    losses["vq"] = vq_total
+                    losses["total"] = losses["total"] + vq_total
             return losses
 
         return jax.jit(eval_step)

@@ -136,6 +136,25 @@ def test_streaming_bf16_weights(tmp_path):
     assert np.abs(y16 - y32).max() < 0.15
 
 
+def test_streaming_artifact_resblocks_vq(tmp_path):
+    """The residual-trunk + VQ family exports too: _ResBlockStream's
+    get/set_state must round-trip through the prime/step/flush graphs
+    (decimator + two constant-pad conv FIFOs + identity/h FIFOs), and
+    the VQ codebook lookup is part of the exported forward."""
+    cfg = dict(CFG, resblocks=True, vq_K=16,
+               kwidths=[65, 11, 5, 5])     # resblocks need odd kwidths
+    enc = _enc(tmp_path, cfg=cfg)
+    out = str(tmp_path / "artifact_rbvq")
+    export_streaming_encoder(enc, out, chunk=CHUNK, platforms=("cpu",))
+    srv = ServingStreamingEncoder(out)
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(2, 3 * CHUNK) * 0.2).astype(np.float32)
+    got = _stream_all(srv, wav)
+    off = np.asarray(enc(wav[:, None, :]))
+    assert got.shape == off.shape
+    np.testing.assert_allclose(got, off, atol=2e-5, rtol=2e-5)
+
+
 def test_streaming_cli_roundtrip(tmp_path):
     """export-jax --streaming_chunk + serve-encode --streaming: the CLI
     online path equals the offline pad-and-trim window contract."""

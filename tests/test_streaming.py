@@ -119,3 +119,73 @@ def test_streaming_resblocks_vq():
 def test_streaming_resblocks_uneven_chunks():
     _check("cfg/frontend/PASE+_resblocks_VQ8192.cfg",
            [1000, 777, 13, 20210, 10000])
+
+
+def test_snapshot_restore_pre_prime():
+    """get_state/set_state round-trip taken BEFORE a layer received its
+    l+1 priming frames: the snapshot must carry 'started' so the restore
+    still injects the left reflect pad (previously set_state hard-coded
+    started=True and the restored stream mis-encoded with shifted
+    output — ADVICE r3)."""
+    enc = wf_builder("cfg/frontend/PASE+.cfg")
+    enc.init()
+    rng = np.random.RandomState(7)
+    wav = rng.randn(2, 32000).astype(np.float32) * 0.1
+    ref = np.asarray(enc(wav))
+
+    s1 = StreamingEncoder(enc)
+    outs = []
+    y = s1.push(wav[:, :60])         # < sinc left pad (125): pre-prime
+    if y is not None:
+        outs.append(np.asarray(y))
+    snap = s1.get_state()
+    assert snap["convs"][0]["started"] is False
+
+    s2 = StreamingEncoder(enc)       # fresh object, restore the snapshot
+    s2.set_state(snap)
+    for i in range(60, 32000, 9000):
+        y = s2.push(wav[:, i:i + 9000])
+        if y is not None:
+            outs.append(np.asarray(y))
+    y = s2.flush()
+    if y is not None:
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=2)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_snapshot_restore_post_prime():
+    """Mid-stream (post-prime) snapshot/restore stays exact, and legacy
+    snapshots without 'started' (exported artifacts) restore as primed."""
+    enc = wf_builder("cfg/frontend/PASE+.cfg")
+    enc.init()
+    rng = np.random.RandomState(8)
+    wav = rng.randn(2, 32000).astype(np.float32) * 0.1
+    ref = np.asarray(enc(wav))
+
+    s1 = StreamingEncoder(enc)
+    outs = []
+    y = s1.push(wav[:, :9000])
+    if y is not None:
+        outs.append(np.asarray(y))
+    snap = s1.get_state()
+
+    # legacy form: strip the 'started' keys; set_state must default True
+    def strip(st):
+        if isinstance(st, dict):
+            return {k: strip(v) for k, v in st.items() if k != "started"}
+        if isinstance(st, list):
+            return [strip(v) for v in st]
+        return st
+
+    s2 = StreamingEncoder(enc)
+    s2.set_state(strip(snap))
+    for i in range(9000, 32000, 9000):
+        y = s2.push(wav[:, i:i + 9000])
+        if y is not None:
+            outs.append(np.asarray(y))
+    y = s2.flush()
+    if y is not None:
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=2)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-4)

@@ -450,6 +450,25 @@ def test_vq_variant_sharded_equals_single():
     np.testing.assert_allclose(emb1, emb8, atol=1e-6, rtol=1e-5)
 
 
+def test_vq_loss_in_eval_total():
+    """Eval must measure the SAME objective as the train step: for VQ
+    configs the sown commitment loss belongs in the eval total too
+    (previously eval summed only worker_losses, so epoch eval could
+    improve while codebook commitment degraded)."""
+    fe = dict(SMALL_FRONTEND, vq_K=16)
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=10,
+               batch_size=8, chunk_size=4800, log_freq=1000,
+               save_path="/tmp/pase_vq_eval")
+    tr = Trainer(fe, SMALL_WORKERS, cfg, mesh=get_mesh())
+    state = tr.init_state(0)
+    means = tr.evaluate(state, SyntheticChunkBatcher(8, 4800, seed=5),
+                        n_batches=1)
+    assert "vq" in means and means["vq"] > 0
+    workers = [v for k, v in means.items() if k not in ("total", "vq")]
+    np.testing.assert_allclose(means["total"], sum(workers) + means["vq"],
+                               rtol=1e-5)
+
+
 def test_fused_feed_step_equals_staged():
     """Trainer.make_fused_feed_step (in-graph batch materialization,
     one dispatch/step) must produce the same loss trajectory as the
