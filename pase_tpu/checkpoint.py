@@ -189,6 +189,15 @@ def _map_torch_key(tkey: str):
             path.append(p)
             i += 1
     leaf = parts[-1]
+    import re as _re
+    m = _re.match(r"^(weight|bias)_(ih|hh)_l(\d+)(_reverse)?$", leaf)
+    if m:
+        # torch nn.LSTM/GRU flat params -> BiRNN (nn.py), which keeps
+        # torch's [G*H, in] layout and gate order: exact copy
+        kind, side, lnum, rev = m.groups()
+        pname = (f"l{lnum}_{'bw' if rev else 'fw'}_"
+                 f"{'w' if kind == 'weight' else 'b'}_{side}")
+        return ("params", tuple(path) + (pname,), "id")
     if leaf == "weight_g":      # torch weight_norm -> WNConv1D.g
         return ("params", tuple(path) + ("g",), "squeeze")
     if leaf == "weight_v":      # torch weight_norm -> WNConv1D.v

@@ -79,6 +79,8 @@ class TDNNFe(nn.Module):
     sr: int = 16000
     rnn_pool: bool = False
     rnn_layers: int = 1
+    rnn_dropout: float = 0.0
+    rnn_type: str = "qrnn"
 
     @property
     def output_dim(self):
@@ -94,8 +96,22 @@ class TDNNFe(nn.Module):
                         name="feblock")(h, train=train)
         h = TDNN(method="unpooled", name="tdnn")(h, train=train)
         if self.rnn_pool:
-            h = QRNN(hidden=self.emb_dim, layers=self.rnn_layers,
-                     name="rnn")(h)
+            # build_rnn_block(fmap, emb_dim//2, bidirectional=True)
+            # (reference frontend.py:77-83): QRNN doubles back to
+            # emb_dim; LSTM/GRU run emb_dim//2 each direction
+            rt = str(self.rnn_type).lower()
+            if rt == "qrnn":
+                h = QRNN(hidden=self.emb_dim, layers=self.rnn_layers,
+                         dropout=self.rnn_dropout,
+                         name="rnn")(h, train=train)
+            elif rt in ("lstm", "gru"):
+                from pase_tpu.nn import BiRNN
+                h = BiRNN(hidden=self.emb_dim // 2,
+                          layers=self.rnn_layers, cell=rt,
+                          dropout=self.rnn_dropout,
+                          name="rnn")(h, train=train)
+            else:
+                raise TypeError(f"Unrecognized rnn type: {self.rnn_type}")
         return Conv1D(self.emb_dim, 1, name="W")(h)
 
 

@@ -123,10 +123,25 @@ class WaveFe(nn.Module):
                 dskips.append(h)
         if self.rnn_pool:
             rnn_dim = self.rnn_dim if self.rnn_dim is not None else self.emb_dim
-            # reference bidirectional quirk: QRNN ignores the flag and
-            # doubles rnn_dim//2 back to rnn_dim (modules.py:48-53)
-            h = QRNN(hidden=rnn_dim, layers=self.rnn_layers,
-                     impl=self.qrnn_impl, name="rnn")(h)
+            rt = str(self.rnn_type).lower()
+            if rt == "qrnn":
+                # reference bidirectional quirk: QRNN ignores the flag and
+                # doubles rnn_dim//2 back to rnn_dim (modules.py:48-53)
+                h = QRNN(hidden=rnn_dim, layers=self.rnn_layers,
+                         impl=self.qrnn_impl, dropout=self.rnn_dropout,
+                         name="rnn")(h, train=train)
+            elif rt in ("lstm", "gru"):
+                # build_rnn_block's torch nn.LSTM/GRU branch
+                # (modules.py:54-57): bidirectional with hidden
+                # rnn_dim//2 each way -> rnn_dim features out
+                from pase_tpu.nn import BiRNN
+                h = BiRNN(hidden=rnn_dim // 2, layers=self.rnn_layers,
+                          cell=rt, dropout=self.rnn_dropout,
+                          name="rnn")(h, train=train)
+            else:
+                # reference raises TypeError too (modules.py:58-59);
+                # silently training the wrong architecture is worse
+                raise TypeError(f"Unrecognized rnn type: {self.rnn_type}")
         y = Conv1D(self.emb_dim, 1, name="W")(h)
         for i, dskip in enumerate(dskips):
             pooled = pool_to(dskip, y.shape[1])

@@ -543,9 +543,10 @@ class QRNN(nn.Module):
     hidden: int
     layers: int = 1
     impl: str = "auto"
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         from pase_tpu.precision import get_compute_dtype
         from pase_tpu.ops.pallas_qrnn import qrnn_pool_pallas, \
             pallas_available
@@ -561,7 +562,100 @@ class QRNN(nn.Module):
             y = nn.Dense(3 * self.hidden, dtype=cd,
                          name=f"layers_{li}_linear")(src)
             h, _ = pool(y.astype(jnp.float32))
+            if self.dropout > 0 and li < self.layers - 1:
+                # torchqrnn QRNN.forward: F.dropout BETWEEN stacked
+                # layers only (the reference's rnn_dropout plumbs into
+                # this `dropout=` arg — NOT QRNNLayer zoneout)
+                h = nn.Dropout(self.dropout)(h, deterministic=not train)
         return h
+
+
+class BiRNN(nn.Module):
+    """Bidirectional multi-layer LSTM/GRU context block, numerically
+    matching ``torch.nn.LSTM/GRU(in, hidden, layers, dropout=...,
+    bidirectional=True)`` with zero initial state — the reference's
+    non-QRNN ``build_rnn_block`` branch (modules.py:45-60), selected by
+    ``WaveFe(rnn_type='lstm'|'gru')`` (frontend.py:55-60,257-262).
+
+    NTC in/out; output features = 2*hidden (fw ++ bw). Parameters use
+    torch's layout per direction/layer — w_ih [G*H, in], w_hh [G*H, H],
+    b_ih/b_hh [G*H] with torch gate order (LSTM: i,f,g,o; GRU: r,z,n)
+    — so torch checkpoints convert by direct copy (checkpoint.py).
+    Inter-layer dropout on all but the last layer, like torch.
+
+    TPU shape: the input projection for ALL timesteps is one [B*T, in]
+    x [in, G*H] matmul (MXU); only the recurrent half runs in the
+    lax.scan."""
+    hidden: int
+    layers: int = 1
+    cell: str = "lstm"        # 'lstm' | 'gru'
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.cell not in ("lstm", "gru"):
+            raise TypeError(f"Unrecognized rnn type: {self.cell}")
+        gates = 4 if self.cell == "lstm" else 3
+        h = x.astype(jnp.float32)
+        for li in range(self.layers):
+            outs = []
+            for d, rev in (("fw", False), ("bw", True)):
+                nin = h.shape[-1]
+                bound = 1.0 / np.sqrt(self.hidden)
+                uni = lambda k, s: jax.random.uniform(
+                    k, s, jnp.float32, -bound, bound)
+                pfx = f"l{li}_{d}"
+                w_ih = self.param(f"{pfx}_w_ih", uni,
+                                  (gates * self.hidden, nin))
+                w_hh = self.param(f"{pfx}_w_hh", uni,
+                                  (gates * self.hidden, self.hidden))
+                b_ih = self.param(f"{pfx}_b_ih", uni, (gates * self.hidden,))
+                b_hh = self.param(f"{pfx}_b_hh", uni, (gates * self.hidden,))
+                seq = jnp.flip(h, axis=1) if rev else h
+                # input half for every t at once: [B, T, G*H] (MXU)
+                pre = seq @ w_ih.T + b_ih
+                y = self._scan(pre, w_hh, b_hh)
+                outs.append(jnp.flip(y, axis=1) if rev else y)
+            h = jnp.concatenate(outs, axis=-1)
+            if self.dropout > 0 and li < self.layers - 1:
+                h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        return h
+
+    def _scan(self, pre, w_hh, b_hh):
+        """Recurrent half over time. pre: [B, T, G*H] -> y [B, T, H]."""
+        b = pre.shape[0]
+        hid = self.hidden
+        h0 = jnp.zeros((b, hid), jnp.float32)
+
+        if self.cell == "lstm":
+            c0 = jnp.zeros((b, hid), jnp.float32)
+
+            def step(carry, p_t):
+                hprev, cprev = carry
+                g = p_t + hprev @ w_hh.T + b_hh
+                i, f, gg, o = jnp.split(g, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * cprev + \
+                    jax.nn.sigmoid(i) * jnp.tanh(gg)
+                hh = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (hh, c), hh
+
+            (_, _), ys = jax.lax.scan(step, (h0, c0),
+                                      jnp.swapaxes(pre, 0, 1))
+        else:
+            # torch GRU: n = tanh(W_in x + b_in + r*(W_hn h + b_hn));
+            # note b_hn sits INSIDE the r-gate product
+            def step(hprev, p_t):
+                hh = hprev @ w_hh.T + b_hh
+                pr, pz, pn = jnp.split(p_t, 3, axis=-1)
+                hr, hz, hn = jnp.split(hh, 3, axis=-1)
+                r = jax.nn.sigmoid(pr + hr)
+                z = jax.nn.sigmoid(pz + hz)
+                n = jnp.tanh(pn + r * hn)
+                hcur = (1.0 - z) * n + z * hprev
+                return hcur, hcur
+
+            _, ys = jax.lax.scan(step, h0, jnp.swapaxes(pre, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
 
 
 class Deconv1D(nn.Module):

@@ -16,6 +16,7 @@ import argparse
 import glob
 import json
 import os
+import re
 
 import numpy as np
 
@@ -603,6 +604,16 @@ def export_torch(opts):
               .replace("blocks_", "blocks.").replace("denseskips_",
                                                      "denseskips."))
         tk = tk.replace("layers_0_linear", "layers.0.linear")
+        # BiRNN (lstm/gru rnn_type) params carry torch's layout already:
+        # rnn.l<k>_{fw,bw}_{w,b}_{ih,hh} -> rnn.{weight,bias}_{ih,hh}_l<k>[_reverse]
+        m = re.search(r"\.l(\d+)_(fw|bw)_([wb])_(ih|hh)$", tk)
+        if m:
+            lnum, d, kind, side = m.groups()
+            suffix = "_reverse" if d == "bw" else ""
+            out[tk[:m.start()] +
+                f".{'weight' if kind == 'w' else 'bias'}_{side}_l{lnum}"
+                f"{suffix}"] = torch.tensor(arr)
+            continue
         if tk.endswith(".kernel"):
             base = tk[:-7]
             if arr.ndim == 3:
@@ -619,6 +630,13 @@ def export_torch(opts):
         elif tk.endswith(".var"):
             tk = tk[:-4] + ".running_var"
         out[tk] = torch.tensor(arr)
+    # torch BatchNorm state dicts carry a num_batches_tracked buffer per
+    # norm; the reference's load_pretrained_ckpt REQUIRES the filtered
+    # key count to equal the model's (modules.py:290-291), so emit them
+    # (zeros — unused numerically: torch momentum defaults to 0.1)
+    for tk in [k for k in out if k.endswith(".running_mean")]:
+        out[tk[:-13] + ".num_batches_tracked"] = torch.tensor(
+            0, dtype=torch.long)
     torch.save(out, opts.out_ckpt)
     print(f"Exported {len(out)} tensors -> {opts.out_ckpt}")
 
