@@ -45,6 +45,8 @@ class DistortionAssets(NamedTuple):
     bandrop_lens: Optional[jnp.ndarray] = None   # [n_f] true filter lens
     downsample_bank: Optional[jnp.ndarray] = None
     downsample_lens: Optional[jnp.ndarray] = None
+    resample_filters: Optional[jnp.ndarray] = None  # [n_q, K] zero-phase
+    # anti-alias kernels (center at (K-1)//2), one per resample factor
 
 
 class DistortionConfig(NamedTuple):
@@ -64,12 +66,50 @@ class DistortionConfig(NamedTuple):
     max_chops: int = 2
     bandrop_p: float = 0.0
     downsample_p: float = 0.0
+    resample_p: float = 0.0
+    resample_factors: Tuple[int, ...] = ()
     sr: int = 16000
+
+
+# Every kwarg of the reference config_distortions signature
+# (transforms.py:38-77). config_from_json maps the policy keys to
+# DistortionConfig; the asset/path keys are consumed by the asset
+# builders (train.build_distortions) and codec2 by the host stage
+# (host_distortions.build_host_stage). Anything NOT in this set is
+# rejected loudly — a typo'd key must not silently disable a stage.
+_REFERENCE_KEYS = frozenset({
+    "reverb_irfiles", "reverb_fmt", "reverb_data_root", "reverb_p",
+    "reverb_cache", "overlap_dir", "overlap_list", "overlap_snrs",
+    "overlap_reverb", "overlap_p", "noises_dir", "noises_snrs",
+    "noises_p", "noises_cache", "speed_range", "speed_p",
+    "resample_factors", "resample_p", "bandrop_irfiles", "bandrop_fmt",
+    "bandrop_data_root", "bandrop_p", "downsample_irfiles",
+    "downsample_fmt", "downsample_data_root", "downsample_p",
+    "clip_factors", "clip_p", "chop_factors", "max_chops", "chop_p",
+    "codec2_p", "codec2_kbps", "codec2_cachedir", "codec2_cache",
+    "report",
+})
+# extensions beyond the reference schema, documented in README:
+# whisperize host stage + annotation keys in the shipped cfg copies
+_EXTENSION_KEYS = frozenset({"whisper_p", "whisper_cachedir", "sr"})
 
 
 def config_from_json(cfg: dict) -> DistortionConfig:
     """Map a reference distortion cfg JSON (cfg/distortions/*.cfg) to a
-    DistortionConfig. Asset paths are handled by assets_from_json."""
+    DistortionConfig. Asset paths are handled by the asset builders.
+
+    Every key must be a reference config_distortions kwarg
+    (transforms.py:38-77), a documented extension, or a '_'-prefixed
+    annotation; unknown keys raise instead of silently dropping a stage.
+    """
+    unknown = [k for k in cfg
+               if k not in _REFERENCE_KEYS and k not in _EXTENSION_KEYS
+               and not k.startswith("_")]
+    if unknown:
+        raise ValueError(
+            f"unknown distortion cfg keys {unknown}; expected reference "
+            "config_distortions kwargs (transforms.py:38-77) or "
+            f"extensions {sorted(_EXTENSION_KEYS)}")
     return DistortionConfig(
         reverb_p=cfg.get("reverb_p", 0.0),
         overlap_p=cfg.get("overlap_p", 0.0),
@@ -88,6 +128,10 @@ def config_from_json(cfg: dict) -> DistortionConfig:
         max_chops=cfg.get("max_chops", 2),
         bandrop_p=cfg.get("bandrop_p", 0.0),
         downsample_p=cfg.get("downsample_p", 0.0),
+        resample_p=(cfg.get("resample_p", 0.0)
+                    if cfg.get("resample_factors") else 0.0),
+        resample_factors=tuple(int(q) for q in
+                               cfg.get("resample_factors", ())),
     )
 
 
@@ -242,6 +286,42 @@ def fir_filter_one(wav, key, filt_bank, filt_lens=None):
     return jnp.where(ef > 0, eratio * y, wav)
 
 
+def resample_one(wav, key, aa_bank, factors):
+    """Resample distortion (transforms.py:1545-1574): decimate by a
+    random integer factor and linearly interpolate back to T.
+
+    The reference uses scipy.signal.decimate (zero-phase order-8
+    Chebyshev-I anti-alias via filtfilt) then F.interpolate(linear,
+    align_corners=True). Here the zero-phase IIR is applied as its
+    truncated symmetric impulse response (build_resample_filters) so the
+    whole stage is one batched conv + gather — exact away from the chunk
+    edges (filtfilt's odd-extension edge handling has no local form).
+    The reference emits ceil(T/q)*q samples (> T when q∤T); we keep the
+    first T (static shapes) — identical when q | T, as in all shipped
+    chunk sizes."""
+    t = wav.shape[0]
+    idx = jax.random.randint(key, (), 0, len(factors))
+
+    def variant(i):
+        q = int(factors[i])
+        h = aa_bank[i]
+        c = (aa_bank.shape[1] - 1) // 2
+        y = fft_convolve_full(wav[None], h[None])[0]
+        y = jax.lax.dynamic_slice(y, (c,), (t,))          # 'same' conv
+        lr = y[::q]                                       # decimate
+        n = lr.shape[0]
+        # F.interpolate(scale_factor=q, mode='linear', align_corners=True)
+        pos = jnp.arange(n * q) * ((n - 1) / max(n * q - 1, 1))
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        frac = (pos - lo).astype(wav.dtype)
+        out = lr[lo] * (1 - frac) + lr[hi] * frac
+        return out[:t]
+
+    return jax.lax.switch(idx, [lambda i=i: variant(i)
+                                for i in range(len(factors))])
+
+
 def speed_one(wav, key, factor_range):
     """Speed perturbation (SpeedChange, transforms.py:2327-2367): the
     signal is resampled to T*(1+w) samples (w>0 slows playback) and
@@ -280,11 +360,12 @@ def apply_distortions(wav_batch, key, cfg: DistortionConfig,
     """[B, T] clean chunks -> (distorted [B, T], overlap mask [B, T//dec]).
 
     Stage order matches config_distortions (transforms.py:75-146):
-    reverb -> overlap -> additive noise -> speed -> clip -> chop ->
-    bandrop -> downsample, each applied with independent per-sample prob.
+    reverb -> overlap -> additive noise -> speed -> resample -> clip ->
+    chop -> bandrop -> downsample, each applied with independent
+    per-sample prob.
     """
     b, t = wav_batch.shape
-    n_stages = 8
+    n_stages = 9
     keys = jax.random.split(key, b * (n_stages + 1)).reshape(b, n_stages + 1,
                                                              2)
 
@@ -315,6 +396,12 @@ def apply_distortions(wav_batch, key, cfg: DistortionConfig,
         if cfg.speed_p > 0 and cfg.speed_range is not None:
             y = speed_one(wav, ks[si], cfg.speed_range)
             wav = jnp.where(gate(cfg.speed_p, ks[si]), y, wav)
+        si += 1
+        if cfg.resample_p > 0 and cfg.resample_factors \
+                and assets.resample_filters is not None:
+            y = resample_one(wav, ks[si], assets.resample_filters,
+                             cfg.resample_factors)
+            wav = jnp.where(gate(cfg.resample_p, ks[si]), y, wav)
         si += 1
         if cfg.clip_p > 0:
             y = clipping_one(wav, ks[si], cfg.clip_factors)
@@ -373,6 +460,32 @@ def load_ir_bank(files, data_root=".", fmt="npy", max_len=24000):
         pmax[i] = int(np.argmax(np.abs(ir)))
         lens[i] = len(ir)
     return jnp.asarray(bank), jnp.asarray(pmax), jnp.asarray(lens)
+
+
+def build_resample_filters(factors, max_taps: int = 4096, tol: float = 1e-7):
+    """Zero-phase anti-alias kernels for the Resample distortion, one per
+    integer factor q: the impulse response of scipy.signal.decimate's
+    default filter (order-8 Chebyshev-I, rp=0.05 dB, Wn=0.8/q) applied
+    forward-backward (filtfilt), truncated where the one-pass response
+    decays below tol. Built once on the host at config time; returns a
+    center-aligned [n_q, K] bank (K odd)."""
+    from scipy.signal import cheby1, lfilter
+    kers = []
+    for q in factors:
+        b, a = cheby1(8, 0.05, 0.8 / int(q))
+        delta = np.zeros(max_taps, np.float64)
+        delta[0] = 1.0
+        h1 = lfilter(b, a, delta)
+        mag = np.abs(h1)
+        keep = np.where(mag > tol * mag.max())[0]
+        h1 = h1[: int(keep[-1]) + 1]
+        kers.append(np.convolve(h1, h1[::-1]).astype(np.float32))
+    k = max(len(h) for h in kers)
+    bank = np.zeros((len(kers), k), np.float32)
+    for i, h in enumerate(kers):
+        off = (k - len(h)) // 2                 # both odd: stays centered
+        bank[i, off:off + len(h)] = h
+    return jnp.asarray(bank)
 
 
 def load_wav_bank(files, target_len: int):

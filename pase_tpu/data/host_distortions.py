@@ -165,6 +165,133 @@ class StagedBatcher:
             yield self.stage(batch)
 
 
+def asl_p56(x: np.ndarray, srate: int = 16000, nbits: int = 16,
+            eps: float = 1e-22):
+    """ITU-T P.56 method-B active speech level (the measurement inside
+    the legacy Additive distortion, transforms.py:1921-2025).
+
+    Returns (asl_ms, asl, c0): mean-square active level, activity
+    factor, and the active-level threshold (None when no activity).
+    The reference's per-sample Python loop with per-threshold hangover
+    counters is replaced by an equivalent vectorized form: a sample
+    counts as active for threshold c[j] iff it lies within I samples of
+    the last envelope exceedance (the loop's `hang` counter is exactly
+    distance-since-last-exceedance, and its early `break` is a pure
+    optimization — c[] is increasing, so activity sets are nested)."""
+    from scipy.signal import lfilter
+    T, H, M = 0.03, 0.2, 15.9
+    thres_no = nbits - 1
+    I = int(np.ceil(srate * H))
+    g = np.exp(-1.0 / (srate * T))
+    c = 2.0 ** np.arange(-15, thres_no - 15)      # 2^-15 .. 0.5
+    x = np.asarray(x, np.float64).reshape(-1)
+    sq = float(np.dot(x, x))
+    x_len = len(x)
+    p = lfilter([1 - g], [1, -g], np.abs(x))
+    q = lfilter([1 - g], [1, -g], p)
+    k = np.arange(x_len)
+    a = np.zeros(thres_no)
+    for j in range(thres_no):
+        act = q >= c[j]
+        if not act.any():
+            break                                  # nested: higher too
+        last = np.maximum.accumulate(np.where(act, k, -x_len - I - 1))
+        a[j] = int(np.count_nonzero(k - last <= I))
+    if a[0] == 0:
+        return 0.0, 0.0, None
+    AdB = 10 * np.log10(sq / (a + eps) + eps)
+    CdB = 20 * np.log10(c + eps)
+    if AdB[0] - CdB[0] < M:
+        return 0.0, 0.0, None
+    for j in range(1, thres_no):
+        if a[j] != 0 and (AdB[j] - CdB[j]) <= M:
+            asl_ms_log, cl0 = _bin_interp(AdB[j], AdB[j - 1],
+                                          CdB[j], CdB[j - 1], M, 0.5)
+            asl_ms = 10 ** (asl_ms_log / 10)
+            return asl_ms, (sq / x_len) / asl_ms, 10 ** (cl0 / 20)
+    return 0.0, 0.0, None
+
+
+def _bin_interp(upcount, lwcount, upthr, lwthr, margin, tol):
+    """P.56 bisection between adjacent thresholds (transforms.py:
+    1987-2025), incl. its quirks: both early-outs return the LOWER
+    count, and the diff<-tol branch averages (mid-lw)/2."""
+    tol = abs(tol)
+    if abs(upcount - upthr - margin) < tol or \
+            abs(lwcount - lwthr - margin) < tol:
+        return lwcount, lwthr
+    midcount = (upcount + lwcount) / 2
+    midthr = (upthr + lwthr) / 2
+    iterno = 1
+    while True:
+        diff = midcount - midthr - margin
+        if abs(diff) <= tol:
+            return midcount, midthr
+        iterno += 1
+        if iterno > 20:
+            tol *= 1.1
+        if diff > tol:
+            midcount = (upcount + midcount) / 2
+            midthr = (upthr + midthr) / 2
+        elif diff < -tol:
+            midcount = (midcount - lwcount) / 2
+            midthr = (midthr + lwthr) / 2
+
+
+class AdditiveP56:
+    """Legacy `Additive` distortion (transforms.py:1783-1870): noise is
+    scaled so the SNR is measured against the ITU P.56 ACTIVE speech
+    level (method B) instead of whole-chunk energy, then the mix is
+    iteratively attenuated by 1/(1+0.1k) until it fits [-1, 1).
+
+    Host-side numpy (the measurement is inherently sequential-ish and
+    this is a legacy path no shipped cfg drives); ``noises`` is a list
+    of waveform arrays or a directory of wavs. do_IRS (telephone-band
+    filtering) is unimplemented in the reference too (apply_IRS raises)
+    and is rejected here."""
+
+    def __init__(self, noises, snr_levels=(0, 5, 10), do_IRS: bool = False,
+                 seed: int = 0):
+        if do_IRS:
+            raise NotImplementedError(
+                "do_IRS is under construction in the reference as well "
+                "(transforms.py:1873)")
+        if isinstance(noises, str):
+            import glob as _glob
+            files = sorted(_glob.glob(os.path.join(noises, "*.wav")))
+            if not files:
+                raise ValueError(f"[!] No noises found in {noises}")
+            noises = [read_wav(f)[0] for f in files]
+        if not noises:
+            raise ValueError("[!] No noises given")
+        self.noises = [np.asarray(n, np.float32).reshape(-1)
+                       for n in noises]
+        self.snr_levels = list(snr_levels)
+        self.rng = np.random.RandomState(seed)
+        self.eps = 1e-22
+
+    def __call__(self, wav: np.ndarray, srate: int = 16000,
+                 nbits: int = 16) -> np.ndarray:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        noise = self.noises[self.rng.randint(len(self.noises))]
+        snr = self.snr_levels[self.rng.randint(len(self.snr_levels))]
+        if len(noise) <= len(wav):
+            raise ValueError("Noise length has to be greater than speech "
+                             "length!")
+        px, _, _ = asl_p56(wav, srate, nbits)
+        start = int(np.round((len(noise) - len(wav)) *
+                             self.rng.rand() + 1))
+        seg = noise[start:start + len(wav)].astype(np.float64)
+        pn = np.dot(seg, seg) / len(wav)
+        sf = np.sqrt(px / pn / (10 ** (snr / 10))) if pn > 0 else 0.0
+        noisy = wav + sf * seg
+        small = 0.1
+        while noisy.max() >= 1 or noisy.min() < -1:
+            noisy = noisy / (1.0 + small)
+            small += 0.1
+        return noisy.astype(np.float32)
+
+
 def build_host_stage(dcfg_json: dict, seed: int = 0):
     """Construct the host-side distortion stage from the reference
     distortion-cfg keys (transforms.py:38-146: codec2_p / codec2_kbps /

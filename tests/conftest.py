@@ -139,6 +139,40 @@ def load_reference():
         tq.QRNNLayer = QRNNLayer
         sys.modules["torchqrnn"] = tq
 
+    # minimal stubs for pase.transforms' import-time deps that are absent
+    # in this image (gammatone/pysptk/librosa/psf/ahoproc_tools). The
+    # stubbed SYMBOLS raise if actually called — transforms that need
+    # them can't be oracles here (documented image cap); everything else
+    # in pase.transforms (distortions, chunkers, znorm) becomes usable.
+    def _stub_module(name, **symbols):
+        if name in sys.modules:
+            return sys.modules[name]
+        mod = types.ModuleType(name)
+        for k, v in symbols.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    def _unavailable(*a, **k):
+        raise RuntimeError("stubbed dependency called (absent in image)")
+
+    gt = _stub_module("gammatone")
+    gt.gtgram = _stub_module("gammatone.gtgram", gtgram=_unavailable)
+    _stub_module("pysptk", swipe=_unavailable, lpc=_unavailable,
+                 blackman=_unavailable, hamming=_unavailable)
+    _stub_module("python_speech_features", logfbank=_unavailable,
+                 fbank=_unavailable)
+    _stub_module("librosa", load=_unavailable,
+                 feature=_stub_module("librosa.feature",
+                                      mfcc=_unavailable,
+                                      delta=_unavailable),
+                 stft=_unavailable)
+    aho = _stub_module("ahoproc_tools")
+    aho.interpolate = _stub_module("ahoproc_tools.interpolate",
+                                   interpolation=_unavailable)
+    aho.io = _stub_module("ahoproc_tools.io", read_aco_file=_unavailable,
+                          write_aco_file=_unavailable)
+
     import pase as ref_pase  # noqa: F401
     return ref_pase
 

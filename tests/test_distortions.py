@@ -196,3 +196,118 @@ def test_fir_filter_per_filter_group_delay():
     y_bad = jax.device_get(fir_filter_one(wav, jax.random.PRNGKey(1),
                                           jnp.asarray(filt)))
     assert not np.allclose(y_bad, np.asarray(wav), atol=1e-2)
+
+
+def test_resample_matches_scipy_torch_oracle():
+    """Resample distortion vs the reference's exact op chain
+    (transforms.py:1545-1574): scipy.signal.decimate (zero-phase
+    cheby1) + torch F.interpolate(linear, align_corners=True). The
+    truncated-FIR zero-phase form is exact away from chunk edges
+    (filtfilt's odd-extension has no local equivalent)."""
+    import torch
+    import torch.nn.functional as F
+    from scipy.signal import decimate
+    t = 16000
+    rng = np.random.RandomState(0)
+    n = np.arange(t)
+    wav = (np.sin(2 * np.pi * 220 * n / SR) * 0.3 +
+           np.sin(2 * np.pi * 1333 * n / SR) * 0.2 +
+           rng.randn(t) * 0.02).astype(np.float32)
+    for q in (2, 4):
+        x_lr = decimate(wav.astype(np.float64), q).copy()
+        ref = F.interpolate(torch.tensor(x_lr, dtype=torch.float32)
+                            .view(1, 1, -1), scale_factor=q,
+                            align_corners=True, mode="linear")
+        ref = ref.view(-1).numpy()[:t]
+
+        bank = D.build_resample_filters((q,))
+        got = np.asarray(D.resample_one(jnp.asarray(wav),
+                                        jax.random.PRNGKey(0), bank, (q,)))
+        # interior comparison: edges differ by filtfilt's padding scheme
+        m = 1000
+        err = np.abs(got[m:-m] - ref[m:-m]).max()
+        assert err < 5e-4, (q, err)
+        # and the edges are still bounded (no blow-up; filtfilt's odd
+        # extension vs implicit zero-pad differ by O(signal) at the rim)
+        assert np.abs(got - ref).max() < 0.2
+
+
+def test_resample_random_factor_and_gating():
+    """Per-sample factor choice + probabilistic gating inside the full
+    stack: resample_p=1 changes every sample; p=0 leaves them alone."""
+    bank = D.build_resample_filters((2, 4))
+    wavs = np.asarray(_wav(seed=3, b=8))
+    cfg_on = D.DistortionConfig(resample_p=1.0, resample_factors=(2, 4))
+    cfg_off = D.DistortionConfig(resample_p=0.0, resample_factors=(2, 4))
+    assets = D.DistortionAssets(resample_filters=bank)
+    y_on, _ = D.apply_distortions(jnp.asarray(wavs), jax.random.PRNGKey(1),
+                                  cfg_on, assets)
+    y_off, _ = D.apply_distortions(jnp.asarray(wavs), jax.random.PRNGKey(1),
+                                   cfg_off, assets)
+    assert np.abs(np.asarray(y_on) - wavs).max() > 1e-3
+    np.testing.assert_array_equal(np.asarray(y_off), wavs)
+
+
+def test_config_from_json_rejects_unknown_keys():
+    with pytest.raises(ValueError, match="unknown distortion cfg keys"):
+        D.config_from_json({"reverb_p": 0.5, "chop_factros": [[0.05, 0.025]]})
+
+
+def test_config_schema_covers_reference_signature(ref):
+    """Every kwarg of the reference config_distortions signature
+    (transforms.py:38-77) is either mapped or explicitly rejected —
+    no silent drops (VERDICT r3 #4)."""
+    import inspect
+    from pase import transforms as rtr
+    sig = inspect.signature(rtr.config_distortions)
+    for name in sig.parameters:
+        assert name in D._REFERENCE_KEYS, (
+            f"reference config_distortions kwarg {name!r} missing from "
+            "the schema map")
+    # resample keys actually round-trip into the config
+    cfg = D.config_from_json({"resample_factors": [4], "resample_p": 0.7})
+    assert cfg.resample_p == 0.7 and cfg.resample_factors == (4,)
+
+
+def test_asl_p56_additive_matches_reference(ref):
+    """AdditiveP56 (host_distortions) vs the reference Additive's own
+    asl_P56 / addnoise_asl methods (transforms.py:1783-2025), driven
+    directly (the ctor needs librosa+noise dirs; the math doesn't)."""
+    from pase import transforms as rtr
+    from pase_tpu.data.host_distortions import asl_p56
+    rng = np.random.RandomState(0)
+    t = 16000
+    n = np.arange(t)
+    # speech-like: tone bursts with silences
+    env = (np.sin(2 * np.pi * 1.5 * n / SR) > 0).astype(np.float32)
+    wav = (env * np.sin(2 * np.pi * 220 * n / SR) * 0.3 +
+           rng.randn(t).astype(np.float32) * 1e-3)
+    ref_add = rtr.Additive.__new__(rtr.Additive)
+    ref_add.eps = 1e-22
+    px_r, asl_r, c0_r = ref_add.asl_P56(wav.astype(np.float64), SR, 16)
+    px, asl, c0 = asl_p56(wav, SR, 16)
+    np.testing.assert_allclose(px, px_r, rtol=1e-10)
+    np.testing.assert_allclose(asl, asl_r, rtol=1e-10)
+    np.testing.assert_allclose(c0, c0_r, rtol=1e-10)
+
+    # full addnoise path at SNR 5 vs reference (same noise segment)
+    noise = rng.randn(3 * t).astype(np.float32) * 0.1
+    np.random.seed(7)
+    noisy_r, bounds = ref_add.addnoise_asl(wav.astype(np.float64),
+                                           noise.astype(np.float64),
+                                           SR, 16, snr=5.0)
+    seg = noise[bounds[0]:bounds[1]].astype(np.float64)
+    pn = np.dot(seg, seg) / t
+    sf = np.sqrt(px / pn / (10 ** (5.0 / 10)))
+    np.testing.assert_allclose(wav + sf * seg, noisy_r, rtol=1e-8)
+
+    # the class front door: silence raises no activity, scales nothing
+    from pase_tpu.data.host_distortions import AdditiveP56
+    add = AdditiveP56([noise], snr_levels=[5], seed=0)
+    out = add(wav)
+    assert out.shape == wav.shape and np.isfinite(out).all()
+    assert np.abs(out - wav).max() > 1e-4          # noise was added
+    assert out.max() < 1.0 and out.min() >= -1.0   # clipping-normalized
+    silent = np.zeros(t, np.float32)
+    out_s = add(silent)
+    np.testing.assert_array_equal(out_s, silent)   # px=0 -> sf=0

@@ -189,13 +189,18 @@ def build_distortions(opts, chunk_size):
                     bandrop_bank, bandrop_lens = bank, lens
                 else:
                     downsample_bank, downsample_lens = bank, lens
+    resample_filters = None
+    if cfg.resample_p > 0 and cfg.resample_factors:
+        from pase_tpu.data.distortions import build_resample_filters
+        resample_filters = build_resample_filters(cfg.resample_factors)
     assets = DistortionAssets(ir_bank=ir_bank, ir_pmax=ir_pmax,
                               noise_bank=noise_bank,
                               overlap_bank=overlap_bank,
                               bandrop_bank=bandrop_bank,
                               bandrop_lens=bandrop_lens,
                               downsample_bank=downsample_bank,
-                              downsample_lens=downsample_lens)
+                              downsample_lens=downsample_lens,
+                              resample_filters=resample_filters)
     return cfg, assets, host_stage
 
 
