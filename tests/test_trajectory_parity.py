@@ -1,0 +1,40 @@
+"""Compact CI gate for the reference-vs-repo TRAINING-TRAJECTORY parity
+(the BASELINE north-star clause: worker losses within 1 % of reference
+curves). The full 50-step protocol lives in
+experiments/trajectory_parity.py; this runs the same identical-init,
+identical-batch, identical-Adam comparison for 12 steps.
+
+Trajectory agreement implies backward-pass + optimizer parity, not just
+the forward: any gradient deviation compounds step over step and trips
+the 1 % gate within a few steps.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_EXP = os.path.join(os.path.dirname(__file__), "..", "experiments",
+                    "trajectory_parity.py")
+
+
+def _load_exp():
+    spec = importlib.util.spec_from_file_location("trajectory_parity", _EXP)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_training_trajectory_matches_reference(ref):
+    tp = _load_exp()
+    n = 12
+    fns = tp.feature_fns()
+    batches = tp.make_batches(n, fns)
+    sd = {}
+    ref_traj = tp.run_reference(batches, n, sd)
+    our_traj = tp.run_ours(batches, n, sd)
+    ok, stats = tp.compare(ref_traj, our_traj, tol=0.01)
+    assert ok, f"per-worker relative loss deviation: {stats}"
+    # over 12 steps the agreement should be float-noise tight, not just
+    # inside 1 % (divergence compounds later — see compare())
+    assert max(stats["max_rel"].values()) < 1e-3, stats
