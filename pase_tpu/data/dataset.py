@@ -653,16 +653,21 @@ class DeviceSyntheticBatcher:
 
     def __iter__(self):
         import jax
-        key = self._key
+        t = 0
         while True:
-            key, sub = jax.random.split(key)
-            yield self._make(sub)
+            yield self._make(jax.random.fold_in(self._key, t))
+            t += 1
 
     # ---- fused in-graph feed (Trainer.make_fused_feed_step) --------------
-    def feed_state(self):
-        return {"key": self._key}
+    # Per-batch keys are STEP-INDEXED (fold_in(key0, t), not a split
+    # chain): a run resumed at global step t draws exactly the batches
+    # the uninterrupted run would have drawn, so preemption + resume is
+    # bitwise-transparent to training (recipes/rehearsal.sh asserts it).
+    def feed_state(self, start_step: int = 0):
+        import jax.numpy as jnp
+        return {"key": self._key, "t": jnp.int32(start_step)}
 
     def feed_fn(self, fs):
         import jax
-        key, sub = jax.random.split(fs["key"])
-        return self._make_body(sub), {"key": key}
+        sub = jax.random.fold_in(fs["key"], fs["t"])
+        return self._make_body(sub), dict(fs, t=fs["t"] + 1)

@@ -190,7 +190,11 @@ class DeviceCorpusBatcher:
         self._d_cnt = jnp.asarray(nb_cnt)
         if self.zero_speech_p > 0:
             self._d_zs = jnp.asarray(self._zs_ids.astype(np.int32))
+        # base key is CONSTANT; per-batch keys are fold_in(key0, step)
+        # so a resumed run samples exactly the uninterrupted run's crops
+        # (preemption-transparent training; recipes/rehearsal.sh)
         self._key = jax.random.PRNGKey(seed + 77)
+        self._t = jnp.int32(0)
 
         t, b = chunk_size, batch_size
         n_utts, zs_p = self.n_utts, float(self.zero_speech_p)
@@ -218,8 +222,8 @@ class DeviceCorpusBatcher:
             r = jax.random.randint(ks[4], (3, b), 0, 1 << 30)
             return offs[ids] + jnp.where(span > 0, r % (span + 1), 0)
 
-        def next_batch(buf, key, offs, lens, nb, cnt, zs):
-            key, sub = jax.random.split(key)
+        def next_batch(buf, key0, step, offs, lens, nb, cnt, zs):
+            sub = jax.random.fold_in(key0, step)
             starts = sample_starts(sub, offs, lens, nb, cnt,
                                    zs).reshape(-1)
             # [B, T] rows from flat PCM at per-row offsets. MUST be a
@@ -230,7 +234,7 @@ class DeviceCorpusBatcher:
             # floor) — HBM-bandwidth bound as intended
             rows = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(buf, (s,), (t,)))(starts)
-            return rows.astype(jnp.float32) / 32768.0, starts, key
+            return rows.astype(jnp.float32) / 32768.0, starts, step + 1
 
         self._next = jax.jit(next_batch)
         self._next_body = next_batch         # un-jitted: fused-feed path
@@ -266,9 +270,9 @@ class DeviceCorpusBatcher:
                 return jnp.stack([offs[idx] + rel, coffs[idx] + rel,
                                   coffs[idx] + crel, offs[rand] + rrel])
 
-            def next_batch_par(buf, cbuf, key, offs, lens, coffs,
+            def next_batch_par(buf, cbuf, key0, step, offs, lens, coffs,
                                clens):
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(key0, step)
                 st = sample_starts_par(sub, offs, lens, coffs, clens)
 
                 def slc(bf, starts):
@@ -278,7 +282,7 @@ class DeviceCorpusBatcher:
                 rows = jnp.concatenate([
                     slc(buf, st[0]), slc(cbuf, st[1]),
                     slc(cbuf, st[2]), slc(buf, st[3])])
-                return rows.astype(jnp.float32) / 32768.0, st, key
+                return rows.astype(jnp.float32) / 32768.0, st, step + 1
 
             self._next = jax.jit(next_batch_par)
             self._next_body = next_batch_par
@@ -287,9 +291,10 @@ class DeviceCorpusBatcher:
     # ---- index sampling (device; host wrapper for tests) ----------------
     def _sample_starts(self):
         """[3|4, B] absolute starts for the NEXT batch (advances the
-        key); numpy copy for inspection/tests."""
+        step counter); numpy copy for inspection/tests."""
         import jax
-        self._key, sub = jax.random.split(self._key)
+        sub = jax.random.fold_in(self._key, self._t)
+        self._t = self._t + 1
         if self.parallel:
             return np.asarray(jax.device_get(self._sample(
                 sub, self._d_offsets, self._d_lengths,
@@ -311,45 +316,54 @@ class DeviceCorpusBatcher:
     def __iter__(self):
         while True:
             if self.parallel:
-                rows, starts, self._key = self._next(
-                    self.buf, self.cbuf, self._key, self._d_offsets,
-                    self._d_lengths, self._d_coffsets, self._d_clengths)
+                rows, starts, self._t = self._next(
+                    self.buf, self.cbuf, self._key, self._t,
+                    self._d_offsets, self._d_lengths,
+                    self._d_coffsets, self._d_clengths)
             else:
                 zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
-                rows, starts, self._key = self._next(
-                    self.buf, self._key, self._d_offsets,
+                rows, starts, self._t = self._next(
+                    self.buf, self._key, self._t, self._d_offsets,
                     self._d_lengths, self._d_nb, self._d_cnt, zs)
             self.last_starts = starts        # device [3|4 * B], for tests
             yield self._rows_to_batch(rows)
 
     # ---- fused in-graph feed (Trainer.make_fused_feed_step) --------------
-    def feed_state(self):
+    def feed_state(self, start_step: int = 0):
         """Pytree of device arrays the fused train step threads through
         (the corpus buffer rides along as a jit argument — never a
-        captured constant — so it is not baked into the executable)."""
+        captured constant — so it is not baked into the executable).
+        ``start_step`` indexes the per-batch key derivation
+        (fold_in(key0, step)): resuming a checkpointed run at global
+        step N replays the exact crop sequence an uninterrupted run
+        draws at steps N, N+1, ... — bitwise-transparent preemption."""
+        import jax.numpy as jnp
         if self.parallel:
             return {"buf": self.buf, "cbuf": self.cbuf,
-                    "key": self._key, "offs": self._d_offsets,
+                    "key": self._key, "t": jnp.int32(start_step),
+                    "offs": self._d_offsets,
                     "lens": self._d_lengths, "coffs": self._d_coffsets,
                     "clens": self._d_clengths}
         zs = self._d_zs if self.zero_speech_p > 0 else self._d_cnt
         return {"buf": self.buf, "key": self._key,
+                "t": jnp.int32(start_step),
                 "offs": self._d_offsets, "lens": self._d_lengths,
                 "nb": self._d_nb, "cnt": self._d_cnt, "zs": zs}
 
     def feed_fn(self, fs):
         """Traceable: feed_state -> (raw batch, new feed_state).  Same
-        sampling body and key threading as __iter__, so fused and
-        dispatch-per-batch execution yield identical batch sequences."""
+        sampling body and step-indexed key derivation as __iter__, so
+        fused and dispatch-per-batch execution yield identical batch
+        sequences."""
         if self.parallel:
-            rows, _, key = self._next_body(
-                fs["buf"], fs["cbuf"], fs["key"], fs["offs"],
+            rows, _, t = self._next_body(
+                fs["buf"], fs["cbuf"], fs["key"], fs["t"], fs["offs"],
                 fs["lens"], fs["coffs"], fs["clens"])
         else:
-            rows, _, key = self._next_body(
-                fs["buf"], fs["key"], fs["offs"], fs["lens"], fs["nb"],
-                fs["cnt"], fs["zs"])
-        return self._rows_to_batch(rows), dict(fs, key=key)
+            rows, _, t = self._next_body(
+                fs["buf"], fs["key"], fs["t"], fs["offs"], fs["lens"],
+                fs["nb"], fs["cnt"], fs["zs"])
+        return self._rows_to_batch(rows), dict(fs, t=t)
 
 
 class ShardedDeviceCorpusBatcher:
@@ -689,25 +703,34 @@ class ShardedDeviceCorpusBatcher:
             out_specs=tuple(P("data", None) for _ in range(6)))
 
         def step_fs(fs):
-            key, sub = jax.random.split(fs["key"])
+            # step-indexed per-batch key (see DeviceCorpusBatcher
+            # .feed_state): resume replays the uninterrupted sequence
+            sub = jax.random.fold_in(fs["key"], fs["t"])
             if self.parallel:
                 c, cc, x, r, ids, rel = self._smapped_par(
                     fs["buf"], fs["cbuf"], fs["offs"], fs["lens"],
                     fs["coffs"], fs["clens"], fs["nut"], sub)
                 return ({"chunk": c, "cchunk": cc, "chunk_ctxt": x,
-                         "chunk_rand": r}, dict(fs, key=key), ids, rel)
+                         "chunk_rand": r}, dict(fs, t=fs["t"] + 1),
+                        ids, rel)
             c, x, r, ids, rel = self._smapped(
                 fs["buf"], fs["offs"], fs["lens"], fs["nb"], fs["cnt"],
                 fs["nut"], sub)
             return ({"chunk": c, "chunk_ctxt": x, "chunk_rand": r},
-                    dict(fs, key=key), ids, rel)
+                    dict(fs, t=fs["t"] + 1), ids, rel)
 
         self._step_fs = step_fs
         self._jit_step = jax.jit(step_fs)
 
     # ---- duck-compatible batcher / fused-feed interface -------------------
-    def feed_state(self):
-        return dict(self._fs0)
+    def feed_state(self, start_step: int = 0):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        fs = dict(self._fs0)
+        fs["t"] = jax.device_put(
+            jnp.int32(start_step), NamedSharding(self.mesh, P()))
+        return fs
 
     def feed_fn(self, fs):
         batch, fs, _, _ = self._step_fs(fs)

@@ -548,7 +548,14 @@ class Trainer:
                      or getattr(batcher, "multiprocess_ok", False)) \
                 and not self.cfg.get("no_fused_feed"):
             fused = self.make_fused_feed_step(feed_fn)
-            feed = batcher.feed_state()
+            # seed the feed at the resumed global step: device batchers
+            # derive per-batch keys as fold_in(key0, step), so a resumed
+            # run replays the uninterrupted run's batch sequence exactly
+            # (bitwise-transparent preemption; recipes/rehearsal.sh)
+            try:
+                feed = batcher.feed_state(step0)
+            except TypeError:           # external batcher, legacy signature
+                feed = batcher.feed_state()
         else:
             if getattr(batcher, "pre_sharded", False) \
                     and jax.process_count() > 1:
