@@ -28,7 +28,7 @@ def contextualize_r(gtruth, r: Optional[int]):
 
 
 def framed_mse_linear(kernel, bias, h, target, r: Optional[int],
-                      precision=jax.lax.Precision.HIGH):
+                      precision=None):
     """r-framed MSE of a linear head WITHOUT materializing the prediction.
 
     Computes mean((h @ W + b - frame_r(target))^2) — exactly the
@@ -57,11 +57,19 @@ def framed_mse_linear(kernel, bias, h, target, r: Optional[int],
       precision: matmul precision for the Gram/cross contractions.
         The expanded form's absolute rounding error scales with the term
         magnitudes (||p||^2, <p,T>, ||T||^2) rather than the residual, so
-        under the TPU default (bf16-ish) the reported loss loses relative
-        accuracy as pred approaches target. Default HIGH keeps the loss
-        value trustworthy for adaptive scheduling policies; measured cost
-        on a v5e is ~0.6 ms/step for the two PASE+ lps heads (still 4.6x
-        faster than materializing the [B,T,21525] prediction).
+        under the TPU default (one bf16 pass) the reported loss VALUE
+        carries a relative error of roughly (term magnitude / loss) x
+        2^-9. With ZNorm'd targets (||T||^2/n ~= 1) and realistic lps
+        residuals that is <~1% — harmless where losses are only summed
+        into the objective, but visible to policies that consume loss
+        values in-graph. Precision.HIGH (3-pass bf16) removes it at a
+        measured 4.3 ms/step fwd+bwd for the two PASE+ lps heads (the
+        whole r3 bench regression, 13.84 -> 13.03 steps/s;
+        experiments/fused_head_precision.py quantifies the value error).
+        The Trainer therefore passes HIGH only for value-consuming
+        policies (softmax/adaptive/hyper_volume/MGD) and for eval steps,
+        and leaves the default None (= backend default) on the hot
+        base-policy path where every other head's matmuls are bf16 too.
     """
     if kernel.ndim == 3:
         kernel = kernel[0]

@@ -344,8 +344,13 @@ def materialize_pred(pred):
     return pred
 
 
-def worker_losses(model_meta, preds, labels):
-    """Per-worker losses as a dict; loss fns from each worker cfg."""
+def worker_losses(model_meta, preds, labels, loss_precision=None):
+    """Per-worker losses as a dict; loss fns from each worker cfg.
+
+    loss_precision: matmul precision for the fused wide-head loss
+    (losses.framed_mse_linear) — the Trainer passes Precision.HIGH for
+    value-consuming policies and eval, None (backend default) on the hot
+    base-policy path (see framed_mse_linear's docstring)."""
     from pase_tpu.losses import framed_mse_linear
     losses = {}
     for group in ("cls", "regr", "regu"):
@@ -356,7 +361,8 @@ def worker_losses(model_meta, preds, labels):
             if isinstance(pred, tuple) and len(pred) == 4 and \
                     pred[0] == "linear":
                 _, h, kernel, bias = pred
-                val = framed_mse_linear(kernel, bias, h, labels[name], r)
+                val = framed_mse_linear(kernel, bias, h, labels[name], r,
+                                        precision=loss_precision)
             elif e.get("type") == "wavernn":
                 from pase_tpu.wavernn import (raw_loss,
                                               discretized_mix_logistic_loss)

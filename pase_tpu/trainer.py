@@ -82,6 +82,13 @@ class Trainer:
         self.num_workers = len(self.ordered_names)
         self.mode = cfg.get("backprop_mode", "base")
         self.hop = cfg.get("hop", 160)
+        # fused wide-head loss precision: HIGH where loss VALUES steer
+        # the policy in-graph (or always, via cfg loss_precision);
+        # backend default on the hot summed-loss path — the HIGH 3-pass
+        # matmuls cost a measured 4.3 ms/step at PASE+ shapes (see
+        # losses.framed_mse_linear)
+        self._value_sensitive = {"softmax", "adaptive", "hyper_volume",
+                                 "MGD"}
         self.prepare = make_prepare_fn(
             self.meta, stats=stats, dist_cfg=dist_cfg, assets=dist_assets,
             hop=self.hop, random_scale=cfg.get("random_scale", False))
@@ -200,10 +207,30 @@ class Trainer:
 
     # -- steps ----------------------------------------------------------------
 
+    def _loss_precision(self, mode):
+        """Matmul precision for the fused wide-head loss: explicit cfg
+        `loss_precision` wins; else HIGH for policies whose weights are a
+        function of the loss VALUES (their in-graph decisions deserve the
+        3-pass value), backend default otherwise (losses are only summed
+        — value noise <~1% on ZNorm'd targets, gradients in the same
+        precision class as every other bf16 head)."""
+        want = self.cfg.get("loss_precision")
+        if want:
+            table = {"default": None,
+                     "high": jax.lax.Precision.HIGH,
+                     "highest": jax.lax.Precision.HIGHEST}
+            if str(want).lower() not in table:
+                raise ValueError(f"loss_precision must be one of "
+                                 f"{sorted(table)}, got {want!r}")
+            return table[str(want).lower()]
+        return jax.lax.Precision.HIGH if mode in self._value_sensitive \
+            else None
+
     def _make_train_step(self):
         model, meta = self.model, self.meta
         ordered, regu = self.ordered_names, self.regu_names
         prepare, tx, mode = self.prepare, self._tx, self.mode
+        loss_prec = self._loss_precision(mode)
         pol_kwargs = dict(
             dropout_rate=self.cfg.get("dropout_rate", 0.5) or 0.5,
             delta=self.cfg.get("delta", 1.5) or 1.5,
@@ -245,7 +272,8 @@ class Trainer:
                     variables, batch, alpha, train=True,
                     rngs={"sample": k_sample, "dropout": k_drop},
                     rep_probe=probe, mutable=["batch_stats"])
-                losses = worker_losses(meta, preds, labels)
+                losses = worker_losses(meta, preds, labels,
+                                       loss_precision=loss_prec)
                 return jnp.stack([losses[n] for n in ordered])
 
             b = batch["chunk"].shape[0]
@@ -293,7 +321,8 @@ class Trainer:
                     variables, batch, state.alpha, train=True,
                     rngs={"sample": k_sample, "dropout": k_drop},
                     mutable=["batch_stats", "intermediates"])
-                losses = worker_losses(meta, preds, labels)
+                losses = worker_losses(meta, preds, labels,
+                                       loss_precision=loss_prec)
                 loss_vec = jnp.stack([losses[n] for n in ordered])
                 weights, alpha_next, new_pstate = apply_policy(
                     mode, loss_vec, state.policy_state, k_pol,
@@ -477,7 +506,8 @@ class Trainer:
                 (h, chunk, preds, labels), ups = model.apply(
                     variables, batch, 1.0, train=False,
                     rngs={"sample": k_sample}, mutable=["intermediates"])
-                losses = worker_losses(meta, preds, labels)
+                losses = worker_losses(meta, preds, labels,
+                                       loss_precision=jax.lax.Precision.HIGH)
                 losses["total"] = sum(losses.values())
                 # VQ commitment term: eval measures the SAME objective as
                 # the train step (which adds sown vq_loss to its total) —

@@ -118,3 +118,25 @@ def test_model_fused_loss_matches_plain():
                      jax.tree_util.tree_leaves(g_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-3, atol=1e-6)
+
+def test_loss_precision_policy():
+    """Trainer reserves Precision.HIGH for value-consuming policies and
+    honors/validates the explicit cfg override (benchmarks/README.md
+    round-3 regression root cause: HIGH on the base path cost 4.3 ms/step
+    for ~1e-5 of value accuracy)."""
+    from pase_tpu.trainer import Trainer
+
+    tr = Trainer.__new__(Trainer)   # only _loss_precision's fields needed
+    tr.cfg = {}
+    tr._value_sensitive = {"softmax", "adaptive", "hyper_volume", "MGD"}
+    assert tr._loss_precision("base") is None
+    assert tr._loss_precision("select_one") is None
+    for mode in ("softmax", "adaptive", "hyper_volume", "MGD"):
+        assert tr._loss_precision(mode) == jax.lax.Precision.HIGH
+    tr.cfg = {"loss_precision": "highest"}
+    assert tr._loss_precision("base") == jax.lax.Precision.HIGHEST
+    tr.cfg = {"loss_precision": "default"}
+    assert tr._loss_precision("MGD") is None
+    tr.cfg = {"loss_precision": "fast"}
+    with pytest.raises(ValueError):
+        tr._loss_precision("base")

@@ -84,6 +84,10 @@ def build_argparser():
                    help="use the native C++ decode/crop loader")
     p.add_argument("--compute_dtype", type=str, default=None,
                    help="bfloat16 for mixed-precision MXU passes")
+    p.add_argument("--loss_precision", type=str, default=None,
+                   help="fused wide-head loss matmul precision "
+                        "(default|high|highest); unset = high only for "
+                        "value-consuming policies + eval")
     p.add_argument("--n_model", type=int, default=1,
                    help="model-parallel mesh width (column-parallel "
                         "params over the 'model' axis); devices/n_model "
