@@ -58,6 +58,7 @@ def test_gan_objectives(loss_type):
         assert dl < 0.5
 
 
+@pytest.mark.slow
 def test_adversarial_train_step():
     from pase_tpu.trainer import Trainer
     from pase_tpu.data.dataset import SyntheticChunkBatcher

@@ -59,6 +59,7 @@ def test_data_prep_build_cfg(corpus):
     assert not (tr_spk & va_spk)
 
 
+@pytest.mark.slow
 def test_train_cli_synthetic(tmp_path):
     """One tiny epoch of the training CLI end to end (synthetic data)."""
     sys.path.insert(0, REPO)
@@ -141,6 +142,7 @@ def test_kmeans():
         assert (seg == np.bincount(seg).argmax()).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_histogram_logging(tmp_path):
     """cfg log_histograms=True emits [lo, hi, counts...] rows per worker
     (reference tensorboard add_histogram parity, trainer.py:398-413)."""
@@ -188,6 +190,7 @@ def test_encode_codec2_cli(tmp_path):
     assert sorted(os.listdir(outd)) == ["u0.wav", "u1.wav", "u2.wav"]
 
 
+@pytest.mark.slow
 def test_prosodic_eval_cli(tmp_path):
     """Train one tiny step with a prosody worker, save, then evaluate the
     prosody head via the CLI path (util_scripts/prosodic_eval.py)."""
@@ -305,6 +308,7 @@ def test_data_prep_probe_lists(tmp_path):
     assert len(u2c) == 8 and set(u2c.values()) == {0, 1}
 
 
+@pytest.mark.slow
 def test_train_cli_att_cfg_flag(tmp_path):
     """--att_cfg / --chunking_K CLI flags select the pase_attention /
     pase_chunking variants (reference train.py:312-321,432-434)."""
@@ -398,6 +402,7 @@ def test_train_cli_cached_targets(corpus, tmp_path):
     assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")
 
 
+@pytest.mark.slow
 def test_profile_step_cli(tmp_path, capsys):
     """profile-step emits the step decomposition JSON
     (pase_tpu/profiling.py device-synced methodology)."""
@@ -498,6 +503,7 @@ def test_train_cli_multi_corpus_ami(corpus, tmp_path):
     assert os.path.exists(tmp_path / "ckpt" / "FE_e0.npz")
 
 
+@pytest.mark.slow
 def test_train_cli_device_corpus(corpus, tmp_path):
     """train.py --device_corpus end to end on a real tiny corpus: the
     HBM-resident int16 buffer + on-device crop gather replaces the host
@@ -620,6 +626,7 @@ def test_train_cli_shard_device_corpus(tmp_path):
     assert tr_rows and all(np.isfinite(r["total"]) for r in tr_rows)
 
 
+@pytest.mark.slow
 def test_train_cli_device_corpus_parallel(corpus, tmp_path):
     """train.py --device_corpus with a parallel clean/noisy tree
     (GenhancementDataset): both trees live in HBM; the batch carries
@@ -686,6 +693,7 @@ def test_train_cli_device_corpus_parallel(corpus, tmp_path):
     assert tr_rows and all(np.isfinite(r["total"]) for r in tr_rows)
 
 
+@pytest.mark.slow
 def test_train_cli_n_model_2(tmp_path):
     """--n_model 2 on the 8-device CPU mesh: 4x2 data x model mesh,
     column-parallel params (Trainer.init_state auto-applies

@@ -17,6 +17,7 @@ def test_tdnn_fe_shapes():
     assert y.shape[0] == 1 and y.shape[1] == 128
 
 
+@pytest.mark.slow
 def test_aspp_res_encoder_shapes():
     cfg = {"name": "asppRes", "sinc_out": 32, "hidden_dim": 64,
            "kernel_sizes": [11, 11, 11, 11], "strides": [10, 4, 2, 2],

@@ -190,6 +190,7 @@ def test_kaldi_dispatch():
 # golden regression fixtures + scipy oracles (round-2 parity evidence)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_golden_feature_regression():
     """Every worker-target feature matches its frozen golden output
     (tests/fixtures/features_golden.npz, regenerate via

@@ -17,6 +17,7 @@ WORKERS_CFG = "/root/reference/cfg/workers/workers.cfg"
 from pase_tpu.checkpoint import rename_reference_pase_keys as _rename_torch_keys
 
 
+@pytest.mark.slow
 def test_full_pase_forward_parity(ref):
     import torch
     import torch.nn as tnn

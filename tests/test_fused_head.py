@@ -84,6 +84,7 @@ def _tiny_cfgs():
     return fe_cfg, wk_cfg
 
 
+@pytest.mark.slow
 def test_model_fused_loss_matches_plain():
     fe_cfg, wk_cfg = _tiny_cfgs()
     t_wav = 1600

@@ -2,6 +2,8 @@
 (the exact check the driver runs), and the column-parallel model
 sharding must not change the math."""
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -13,6 +15,7 @@ import jax.numpy as jnp
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess():
     """Run the driver's multi-chip check exactly as the driver does:
     fresh interpreter, no CPU forcing from outside — dryrun_multichip
@@ -50,6 +53,7 @@ def test_state_sharding_rule():
     assert sh["count"].spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_model_sharded_step_matches_replicated():
     """One train step with column-parallel param sharding (4x2 mesh)
     produces the same losses as the fully replicated step (8x1)."""

@@ -21,6 +21,7 @@ def test_encoder_scales_with_length(t):
     assert y.shape == (1, t // 160, 32)
 
 
+@pytest.mark.slow
 def test_pallas_scan_long_sequence():
     """Time-blocked kernel handles sequences far beyond one block."""
     from pase_tpu.ops import pallas_qrnn as mod

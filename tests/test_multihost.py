@@ -11,6 +11,8 @@ import textwrap
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see tests/README.md
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -28,6 +28,7 @@ def test_lr_schedule_matches_reference(ref, mode):
                                    err_msg=f"{mode} e{epoch} i{i}")
 
 
+@pytest.mark.slow
 def test_multi_step_matches_single_steps():
     """K fused steps == K individual steps (same rng stream, batches)."""
     import sys

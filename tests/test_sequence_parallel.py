@@ -23,6 +23,7 @@ def _forward_offline(enc, wav):
         enc.module.apply(enc.variables, wav, train=False)))
 
 
+@pytest.mark.slow
 def test_time_sharded_equals_offline_pase_plus():
     enc = wf_builder("cfg/frontend/PASE+.cfg")
     enc.init()
@@ -41,6 +42,7 @@ def test_time_sharded_equals_offline_pase_plus():
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_time_sharded_multi_layer_qrnn(tmp_path):
     """rnn_layers=2 exercises the cross-shard boundary-frame ppermute
     for deeper QRNN layers."""
@@ -64,6 +66,7 @@ def test_time_sharded_multi_layer_qrnn(tmp_path):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_time_sharded_gradients_equal_offline(tmp_path):
     """Context-parallel TRAINING: grads of a loss on the time-sharded
     forward (shard_map transposes the halo slices / carry collectives)
@@ -104,6 +107,7 @@ def test_time_sharded_gradients_equal_offline(tmp_path):
                                    err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_time_sharded_resblocks(tmp_path):
     """The residual trunk (shipped PASE+_resblocks_VQ8192.cfg topology,
     shrunk): decimation + zero-padded stride-1 convs shard with the
@@ -131,6 +135,7 @@ def test_time_sharded_resblocks(tmp_path):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_time_sharded_vq_straight_through(tmp_path):
     """VQ cfgs: forward emits the quantized codes; grads pass straight
     through to the encoder params (identity STE), matching the offline

@@ -40,11 +40,13 @@ def _check(cfg, sizes, T=32000, batch=2, seed=0):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_streaming_pase_plus_matches_offline():
     # PASE+ trunk: sinc + denseskips + QRNN + norm_out
     _check("cfg/frontend/PASE+.cfg", [5000, 160, 12840, 14000])
 
 
+@pytest.mark.slow
 def test_streaming_uneven_chunks():
     # chunk sizes with no relation to strides or the 160-sample frame
     _check("cfg/frontend/PASE+.cfg", [1000, 777, 13, 20210, 10000])
@@ -75,6 +77,7 @@ def test_streaming_latency_bounded():
     assert n_early >= 100   # most of the 200 frames emitted before EOS
 
 
+@pytest.mark.slow
 def test_streaming_nondivisible_total_length():
     """Pin the boundary behavior for totals NOT divisible by the stride
     product 160 (streaming.py exactness caveat).
@@ -87,6 +90,7 @@ def test_streaming_nondivisible_total_length():
     _check("cfg/frontend/PASE+.cfg", [16000, 16000, 73], T=32073)
 
 
+@pytest.mark.slow
 def test_streaming_nondivisible_dfactor_deviation():
     """When the offline realized ratio DEVIATES from the stride product
     (T=31991: skip0 31991//200 = 159 != 160), offline fuse_skip pools
@@ -109,6 +113,7 @@ def test_streaming_nondivisible_dfactor_deviation():
     np.testing.assert_allclose(got2, ref2, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_streaming_resblocks_vq():
     # residual trunk + VQ8192 + denseskips + QRNN (the shipped
     # PASE+_resblocks_VQ8192.cfg): _ResBlockStream path
@@ -116,11 +121,13 @@ def test_streaming_resblocks_vq():
            [5000, 160, 12840, 14000])
 
 
+@pytest.mark.slow
 def test_streaming_resblocks_uneven_chunks():
     _check("cfg/frontend/PASE+_resblocks_VQ8192.cfg",
            [1000, 777, 13, 20210, 10000])
 
 
+@pytest.mark.slow
 def test_snapshot_restore_pre_prime():
     """get_state/set_state round-trip taken BEFORE a layer received its
     l+1 priming frames: the snapshot must carry 'started' so the restore
@@ -154,6 +161,7 @@ def test_snapshot_restore_pre_prime():
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_snapshot_restore_post_prime():
     """Mid-stream (post-prime) snapshot/restore stays exact, and legacy
     snapshots without 'started' (exported artifacts) restore as primed."""

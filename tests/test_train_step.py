@@ -78,6 +78,7 @@ def _trainer(mode="base", dist=False, chunk=4800, batch=8, stats=None):
     return tr
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns():
     # reference-semantics ZNorm (std-of-stds) scales targets up ~7x, so
     # use a higher lr to see learning within the test budget
@@ -102,6 +103,7 @@ def test_train_step_runs_and_learns():
     assert int(jax.device_get(state.step)) == 60
 
 
+@pytest.mark.slow
 def test_train_step_with_distortions():
     tr = _trainer(dist=True)
     state = tr.init_state(0)
@@ -226,6 +228,7 @@ def test_resume_legacy_weights_only(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_pase_v01_config_end_to_end():
     """BASELINE config 2: PASE v0.1 (workers.cfg incl. SPC) trains."""
     import json
@@ -286,6 +289,7 @@ def test_overlap_worker_with_distortions():
     assert np.isfinite(float(losses["overlap"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_grads_match_single_device():
     """Batch-sharded DP must produce the same update as unsharded
     execution (XLA's implicit gradient reduction over the mesh)."""
@@ -368,6 +372,7 @@ def _traj_losses(tr, n_steps=1, seed=0):
     return jax.device_get(losses), jax.device_get(state)
 
 
+@pytest.mark.slow
 def test_full_production_config_sharded_equals_single():
     """The FULL production configuration — repo workers+.cfg bank (fused
     lps/lps_long heads, gammatone/fbank/mfcc/prosody targets, cchunk
@@ -415,6 +420,7 @@ def test_full_production_config_sharded_equals_single():
         assert d.max() <= 2 * 2.0 * lr, d.max()   # 2 steps x Adam bound
 
 
+@pytest.mark.slow
 def test_vq_variant_sharded_equals_single():
     """VQ-EMA variant (quantizer + commitment loss + EMA codebook state)
     under dp sharding: losses and the EMA-updated codebook must match
@@ -469,6 +475,7 @@ def test_vq_loss_in_eval_total():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_feed_step_equals_staged():
     """Trainer.make_fused_feed_step (in-graph batch materialization,
     one dispatch/step) must produce the same loss trajectory as the
@@ -504,6 +511,7 @@ def test_fused_feed_step_equals_staged():
                 rtol=1e-5, atol=1e-7, err_msg=f"step {i} {k}")
 
 
+@pytest.mark.slow
 def test_fused_feed_device_corpus_finite(tmp_path):
     """Fused feed over a real DeviceCorpusBatcher: two steps, finite
     losses, feed step counter advances."""
@@ -584,6 +592,7 @@ def test_fused_feed_sharded_device_corpus(tmp_path):
         assert all(np.isfinite(float(v)) for v in l.values()), l
 
 
+@pytest.mark.slow
 def test_fused_feed_parallel_device_corpus(tmp_path):
     """Fused feed over a PARALLEL (clean/noisy) device corpus: the
     in-graph batch carries cchunk from the clean HBM buffer; two steps,

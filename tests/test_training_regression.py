@@ -16,6 +16,8 @@ and commit the refreshed fixture together with the change that
 justifies it.
 """
 
+import pytest
+
 import json
 import os
 
@@ -97,6 +99,7 @@ def _run_trajectory():
     return traj
 
 
+@pytest.mark.slow
 def test_loss_trajectory_regression():
     traj = _run_trajectory()
     if os.environ.get("PASE_REGEN_FIXTURES"):

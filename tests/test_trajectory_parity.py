@@ -14,6 +14,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # see tests/README.md
+
 _EXP = os.path.join(os.path.dirname(__file__), "..", "experiments",
                     "trajectory_parity.py")
 

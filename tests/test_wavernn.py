@@ -95,6 +95,7 @@ def test_generate():
     assert float(jnp.abs(wav).max()) <= 1.0 + 1e-5  # mu-law decode rounding
 
 
+@pytest.mark.slow
 def test_wavernn_worker_in_train_step():
     """The wavernn minion type is wired into the worker bank (unlike the
     reference, whose pase.py:336 wiring is broken): one jitted step with
