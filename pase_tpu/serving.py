@@ -78,6 +78,18 @@ def export_encoder(enc, out_dir: str,
     from jax import export as jexport
 
     module = enc.module
+    if getattr(module, "qrnn_impl", "scan") != "scan":
+        # Pin the XLA associative-scan QRNN for export: the Pallas
+        # kernel (a) cannot trace a SYMBOLIC batch dim (its block-size
+        # arithmetic needs concrete shapes) and (b) would embed a
+        # TPU-only custom call in an artifact that promises cpu+tpu
+        # portability. 'auto' resolves to Pallas on a TPU host, so the
+        # rehearsal export-jax died exactly here while the CPU-forced CI
+        # never could (recipes/rehearsal.sh post-mortem). scan == pallas
+        # within float noise (tests/test_qrnn.py impl-equality).
+        from pase_tpu.frontend import build_frontend_module
+        module = build_frontend_module({**dict(enc.cfg),
+                                        "qrnn_impl": "scan"})
     variables = _plain(enc.variables)
 
     def _is_float(x):
