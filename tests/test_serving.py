@@ -66,6 +66,23 @@ def test_export_reload_matches_offline(tmp_path):
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_export_pins_scan_qrnn(tmp_path):
+    """A forced-Pallas QRNN cfg (what 'auto' resolves to on a TPU host)
+    must still export: the Pallas block-size arithmetic cannot trace a
+    symbolic batch dim, so export_encoder rebuilds with qrnn_impl=scan
+    (the recipes/rehearsal.sh export-jax crash)."""
+    from pase_tpu.frontend import build_frontend_module
+    enc = _enc(tmp_path)    # init under scan (pallas can't run on CPU)
+    enc.cfg = {**CFG, "qrnn_impl": "pallas"}
+    enc.module = build_frontend_module(enc.cfg)
+    out = str(tmp_path / "artifact")
+    export_encoder(enc, out, chunk_sizes=(1600,), platforms=("cpu",))
+    srv = ServingEncoder(out)
+    wav = (np.random.RandomState(0).randn(1600) * 0.2).astype(np.float32)
+    got = srv.encode(wav)
+    assert got.shape == (24, 10) and np.isfinite(got).all()
+
+
 def test_concat_densemerge_meta_dim(tmp_path):
     """meta emb_dim must be the REALIZED output dim (concat widens it
     beyond cfg emb_dim — WaveFe.output_dim is a property)."""
