@@ -64,13 +64,21 @@ class LibriSpeechTupleDataset:
             self.wav_cache[fname] = wav
         return wav
 
-    def sample_tuple(self, index: int, rng=None):
+    def sample_tuple(self, index: int, rng=None, info=None):
         """rng: optional caller-owned RandomState. Threaded batchers MUST
         pass their per-thread RNG — the dataset's own self.rng is a
         single-consumer fallback, not thread-safe (wav_cache writes are
-        GIL-atomic dict assignments; a duplicate load is benign)."""
+        GIL-atomic dict assignments; a duplicate load is benign).
+
+        info: optional dict the dataset annotates with per-sample facts;
+        currently {'zs': bool} — whether this draw was a zero-speech
+        injection (the batcher turns it into the batch's zs_mask so the
+        device pipeline can skip distortions and apply the zero-speech
+        additive on exactly those rows, reference dataset.py:525-531)."""
         rng = self.rng if rng is None else rng
         if rng.rand() < self.zero_speech_p:
+            if info is not None:
+                info["zs"] = True
             wav = zerospeech(int(5 * 16e3), rng)
             cwav = wav
         else:
@@ -136,6 +144,13 @@ class ChunkBatcher:
         masked = getattr(ds, "dist_flags", None) is not None
         mask = np.ones((b,), dtype=np.float32) if masked else None
         subsets = getattr(ds, "datasets", None)
+        # zero-speech rows carry a zs_mask so the device pipeline can
+        # (a) skip the distortion stack on them and (b) apply the
+        # optional zero-speech additive — the reference's per-sample
+        # ZERO_SPEECH branch (dataset.py:525-531)
+        zs_on = any(getattr(d, "zero_speech_p", 0.0) > 0
+                    for d in (subsets or [ds]))
+        zs_mask = np.zeros((b,), dtype=np.float32) if zs_on else None
         any_parallel = (any(getattr(d, "parallel", False)
                             for d in subsets) if subsets
                         else getattr(ds, "parallel", False))
@@ -144,7 +159,15 @@ class ChunkBatcher:
         for i in range(b):
             idx = self.rng.randint(len(ds))
             sub = ds.datasets[ds._locate(idx)[0]] if subsets else ds
-            tup = ds.sample_tuple(idx, self.rng)
+            # only pass info when zs is on: duck-typed dataset stand-ins
+            # without the info kwarg keep working
+            if zs_on:
+                info = {}
+                tup = ds.sample_tuple(idx, self.rng, info)
+                if info.get("zs"):
+                    zs_mask[i] = 1.0
+            else:
+                tup = ds.sample_tuple(idx, self.rng)
             wav, cwav, rwav = tup[:3]
             # optional 4th element: a dedicated contrastive-context
             # source (AMI channel-key mode returns the neighbor's SDM
@@ -172,6 +195,8 @@ class ChunkBatcher:
             out["cchunk"] = cchunk
         if masked:
             out["dist_mask"] = mask
+        if zs_mask is not None:
+            out["zs_mask"] = zs_mask
         return out
 
     def __iter__(self) -> Iterator[dict]:
@@ -281,8 +306,8 @@ class PairWavDataset(LibriSpeechTupleDataset):
     """(current, random) pairs — no neighbor context; the MI context
     chunk falls back to the current wav (pase/dataset.py:274-330)."""
 
-    def sample_tuple(self, index: int, rng=None):
-        wav, _, rwav = super().sample_tuple(index, rng)
+    def sample_tuple(self, index: int, rng=None, info=None):
+        wav, _, rwav = super().sample_tuple(index, rng, info)
         return wav, wav, rwav
 
 
@@ -314,7 +339,7 @@ class GenhancementDataset(LibriSpeechTupleDataset):
             self.wav_cache[key] = wav
         return wav
 
-    def sample_tuple(self, index: int, rng=None):
+    def sample_tuple(self, index: int, rng=None, info=None):
         rng = self.rng if rng is None else rng
         uttname = self.wavs[index]["filename"]
         noisy = self._load(uttname)
@@ -369,9 +394,9 @@ class AmiSegTupleWavDataset(GenhancementDataset):
                 prefix = self.rec.sub("", wav["filename"])
                 self.neighbor_entries.setdefault(prefix, []).append(wav)
 
-    def sample_tuple(self, index: int, rng=None):
+    def sample_tuple(self, index: int, rng=None, info=None):
         if not self.ihm2sdm:
-            return super().sample_tuple(index, rng)
+            return super().sample_tuple(index, rng, info)
         rng = self.rng if rng is None else rng
         entry = self.wavs[index]
         # one random distant channel shared by chunk/ctxt/rand
@@ -508,9 +533,9 @@ class MetaConcatDataset:
                 return i, index - self._offsets[i]
         return 0, index
 
-    def sample_tuple(self, index: int, rng=None):
+    def sample_tuple(self, index: int, rng=None, info=None):
         i, sub = self._locate(index)
-        return self.datasets[i].sample_tuple(sub, rng)
+        return self.datasets[i].sample_tuple(sub, rng, info)
 
     def dist_mask_of(self, index: int) -> float:
         if self.dist_flags is None:
@@ -529,9 +554,11 @@ class FastChunkBatcher(ChunkBatcher):
         b, t = self.batch_size, self.chunk_size
         ds = self.ds
         if getattr(ds, "datasets", None) is not None or \
-                getattr(ds, "parallel", False):
+                getattr(ds, "parallel", False) or \
+                getattr(ds, "zero_speech_p", 0.0) > 0:
             # MetaConcat / parallel-clean datasets need per-sample masks
-            # or shared-offset crops the native path doesn't implement
+            # or shared-offset crops the native path doesn't implement;
+            # zero-speech injection needs the python sample_tuple draw
             return super()._make_batch()
         paths = []
         for _ in range(b):

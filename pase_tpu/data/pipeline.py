@@ -35,11 +35,21 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
                     dist_cfg: Optional[DistortionConfig] = None,
                     assets: Optional[DistortionAssets] = None,
                     hop: int = 160,
-                    random_scale: bool = False) -> Callable:
+                    random_scale: bool = False,
+                    zs_bank=None,
+                    zs_snrs=(0, 5, 10)) -> Callable:
     """Build prepare(batch, rng) -> model-ready batch dict.
 
     workers_meta: parse_workers_cfg output. stats: {key: {'mean','std'}}
     with 1-D per-dim arrays (reference stats pkl schema).
+
+    zs_bank/zs_snrs: the optional zero-speech additive (reference
+    config_zerospeech -> SimpleAdditive, train.py:139-143 +
+    transforms.py:1576-1676): rows flagged by the batch's zs_mask skip
+    the distortion stack and instead get noise added to the ENCODER
+    INPUT only — worker targets and cchunk stay the silence, exactly
+    the reference's post-transform zp_trans ordering
+    (dataset.py:525-531).
     """
     feat_fns = {}
     for e in workers_meta.get("regr", []):
@@ -63,7 +73,7 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
                      if getattr(v, "dtype", None) == jnp.int16 else v)
                  for k, v in batch.items()}
         b, t = batch["chunk"].shape
-        k_scale, k_dist = jax.random.split(rng)
+        k_scale, k_dist, k_zs = jax.random.split(rng, 3)
         chunk = batch["chunk"]
         ctxt = batch["chunk_ctxt"]
         rand = batch["chunk_rand"]
@@ -103,6 +113,7 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
             out[name] = feats
         # distort the encoder input
         overlap = jnp.zeros((b, t // hop))
+        zs_m = batch.get("zs_mask")
         if dist_cfg is not None and assets is not None:
             dchunk, overlap = apply_distortions(chunk, k_dist, dist_cfg,
                                                 assets, dec_res=hop)
@@ -113,7 +124,19 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
                 m = batch["dist_mask"]
                 dchunk = jnp.where(m[:, None] > 0, dchunk, chunk)
                 overlap = overlap * m[:, None]
+            if zs_m is not None:
+                # the reference skips the distortion stack on zero-speech
+                # rows (dataset.py:525: `if ... and not ZERO_SPEECH`)
+                dchunk = jnp.where(zs_m[:, None] > 0, chunk, dchunk)
+                overlap = overlap * (1.0 - zs_m[:, None])
             chunk = dchunk
+        if zs_bank is not None and zs_m is not None:
+            from pase_tpu.data.distortions import additive_one
+            k_each = jax.random.split(k_zs, b)
+            zs_noisy = jax.vmap(
+                lambda w, kk: additive_one(w, kk, zs_bank,
+                                           tuple(zs_snrs)))(chunk, k_each)
+            chunk = jnp.where(zs_m[:, None] > 0, zs_noisy, chunk)
         out["chunk"] = chunk
         if has_overlap:
             out["overlap"] = overlap

@@ -22,7 +22,8 @@ import optax
 
 
 def make_lr_schedule(mode: str, base_lr: float, epochs: int, bpe: int,
-                     lr_step: int = 30, warmup_epochs: int = 0):
+                     lr_step: int = 30, warmup_epochs: int = 0,
+                     lr_gamma: float = 0.1):
     n_total = max(epochs * bpe, 1)
     warmup_iters = warmup_epochs * bpe
 
@@ -34,7 +35,11 @@ def make_lr_schedule(mode: str, base_lr: float, epochs: int, bpe: int,
         elif mode == "poly":
             lr = base_lr * jnp.power(jnp.maximum(1 - step / n_total, 0.0), 0.9)
         elif mode == "step":
-            lr = base_lr * jnp.power(0.1, jnp.floor(epoch / lr_step))
+            # lr_gamma: 0.1 is LR_Scheduler's hardcoded step decay
+            # (lr_scheduler.py:36); --lrdecay > 0 overrides it with the
+            # legacy core.py StepLR gamma (core.py:135-155 — the modern
+            # reference path accepts but ignores that flag)
+            lr = base_lr * jnp.power(lr_gamma, jnp.floor(epoch / lr_step))
         else:
             raise NotImplementedError(mode)
         if warmup_iters > 0:
@@ -62,10 +67,12 @@ def _make_opt(name: str, sched):
 def build_optimizer(params, fe_opt: str = "Adam", min_opt: str = "Adam",
                     fe_lr: float = 1e-3, min_lr: float = 5e-4,
                     lr_mode: str = "poly", epochs: int = 100, bpe: int = 1000,
-                    lr_step: int = 30):
+                    lr_step: int = 30, lr_gamma: float = 0.1):
     """Multi-transform optimizer over {'frontend', 'minion'} groups."""
-    fe_sched = make_lr_schedule(lr_mode, fe_lr, epochs, bpe, lr_step)
-    min_sched = make_lr_schedule(lr_mode, min_lr, epochs, bpe, lr_step)
+    fe_sched = make_lr_schedule(lr_mode, fe_lr, epochs, bpe, lr_step,
+                                lr_gamma=lr_gamma)
+    min_sched = make_lr_schedule(lr_mode, min_lr, epochs, bpe, lr_step,
+                                 lr_gamma=lr_gamma)
     tx = optax.multi_transform(
         {"frontend": _make_opt(fe_opt, fe_sched),
          "minion": _make_opt(min_opt, min_sched)},

@@ -54,7 +54,8 @@ class Trainer:
 
     def __init__(self, frontend_cfg, workers_cfg, cfg: Dict[str, Any],
                  stats=None, dist_cfg=None, dist_assets=None,
-                 mesh=None, name="Pase_base", gan_cfg=None):
+                 mesh=None, name="Pase_base", gan_cfg=None,
+                 zs_bank=None, zs_snrs=(0, 5, 10)):
         self.cfg = dict(cfg)
         self.name = name
         from pase_tpu.precision import resolve as _resolve_dtype
@@ -91,7 +92,8 @@ class Trainer:
                                  "MGD"}
         self.prepare = make_prepare_fn(
             self.meta, stats=stats, dist_cfg=dist_cfg, assets=dist_assets,
-            hop=self.hop, random_scale=cfg.get("random_scale", False))
+            hop=self.hop, random_scale=cfg.get("random_scale", False),
+            zs_bank=zs_bank, zs_snrs=zs_snrs)
         self.mesh = mesh if mesh is not None else get_mesh()
         self.bpe = cfg.get("bpe", 100)
         self.epochs = cfg.get("epoch", 100)
@@ -175,7 +177,8 @@ class Trainer:
             min_lr=self.cfg.get("min_lr", 5e-4),
             lr_mode=self.cfg.get("lr_mode", "poly"),
             epochs=self.epochs, bpe=self.bpe,
-            lr_step=self.cfg.get("lrdec_step", 30))
+            lr_step=self.cfg.get("lrdec_step", 30),
+            lr_gamma=float(self.cfg.get("lrdecay") or 0) or 0.1)
         opt_state = self._tx.init(params)
         d_params = d_bs = d_opt = None
         if self._d_module is not None:

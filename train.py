@@ -29,6 +29,148 @@ def str2bool(v):
     return str(v).lower() in ("yes", "true", "t", "1")
 
 
+# Flags declared by the reference's argparse but consumed NOWHERE on its
+# modern WorkerScheduler path: the per-feature kwargs feed only
+# commented-out code (/root/reference/train.py:73-123), the
+# noise/whisper contaminated-tree caches are populated but never read
+# (/root/reference/pase/dataset.py:216-231, no consumer in any
+# __getitem__), and net_ckpt/log_grad_keys/dout reach vars(opts) without
+# a reader. Accepted so reference commands parse verbatim; each use
+# prints a loud no-op note (never a silent ignore).
+_DEAD_REFERENCE_FLAGS = [
+    ("--distortion_p", dict(type=float, default=None)),
+    ("--noise_folder", dict(type=str, default=None)),
+    ("--whisper_folder", dict(type=str, default=None)),
+    ("--net_ckpt", dict(type=str, default=None)),
+    ("--log_grad_keys", dict(type=str, nargs="+", default=None)),
+    ("--dout", dict(type=float, default=None)),
+    ("--nfft", dict(type=int, default=None)),
+    ("--fbank_filters", dict(type=int, default=None)),
+    ("--gtn_fmin", dict(type=float, default=None)),
+    ("--gtn_channels", dict(type=int, default=None)),
+    ("--lpc_order", dict(type=int, default=None)),
+    ("--hidden_layers", dict(type=int, default=None)),
+    ("--hidden_size", dict(type=int, default=None)),
+    ("--kaldi_root", dict(type=str, default=None)),
+]
+
+
+def apply_reference_compat(opts):
+    """Resolve the reference-CLI compatibility tier (mutates opts).
+
+    Every flag of the reference train.py argparse
+    (/root/reference/train.py:336-441) is accepted so its README recipes
+    and template_scripts run verbatim. Tiers: mapped (real semantics
+    here), informational (the capability is always-on or lives
+    elsewhere), dead (no-op in the reference itself — loud note). The
+    legacy z-adversarial flags are resolved later by compat_z_gan_cfg
+    (they need bpe for the epoch->step conversion).
+    """
+    def note(msg):
+        print(f"[compat] {msg}")
+
+    for flag, _ in _DEAD_REFERENCE_FLAGS:
+        name = flag.lstrip("-")
+        if getattr(opts, name) is not None:
+            note(f"--{name} accepted but a NO-OP: the reference itself "
+                 "never consumes it on the WorkerScheduler path "
+                 "(feature kwargs are commented out at its "
+                 "train.py:73-123; contaminated-tree caches are never "
+                 "read). Worker-target parameters come from --net_cfg.")
+    if opts.no_cuda:
+        note("--no-cuda: device selection is JAX's (TPU when present, "
+             "else CPU)")
+    if opts.tensorboard is not None:
+        note("--tensorboard: metrics are always JSONL under save_path "
+             "(pase_tpu/log.py); no TensorBoard dependency")
+    if opts.cache_on_load:
+        note("--cache_on_load: lazy wav caching is always on here "
+             "(LibriSpeechTupleDataset cache_on_load=True)")
+    if opts.do_eval:
+        note("--do_eval: the valid split is always evaluated once per "
+             "epoch here")
+    if opts.trans_cache:
+        if opts.cache_feats_dir:
+            raise ValueError("--trans_cache and --cache_feats_dir are "
+                             "the same capability; pass one")
+        note(f"--trans_cache -> --cache_feats_dir {opts.trans_cache}")
+        opts.cache_feats_dir = opts.trans_cache
+    if opts.vq or opts.vq_K is not None:
+        note("--vq/--vq_K: VQ-EMA is configured in --fe_cfg here (e.g. "
+             "cfg/frontend/PASE+_resblocks_VQ8192.cfg); the reference "
+             "flags only reached its legacy core.py trainer")
+    if opts.lrdecay:
+        if opts.lr_mode != "step":
+            note(f"--lrdecay {opts.lrdecay} only affects --lr_mode step "
+                 f"(you passed {opts.lr_mode})")
+        else:
+            note(f"--lrdecay {opts.lrdecay}: honored as the step-mode "
+                 "gamma (legacy core.py StepLR semantics; the modern "
+                 "reference path ignores this flag and decays 0.1)")
+    if opts.rndmin_train:
+        if opts.backprop_mode not in ("base", "select_one"):
+            raise ValueError("--rndmin_train (legacy random-minion "
+                             "training = select_one) conflicts with "
+                             f"--backprop_mode {opts.backprop_mode}")
+        note("--rndmin_train -> --backprop_mode select_one")
+        opts.backprop_mode = "select_one"
+    if (opts.att_K is not None or opts.att_mode is not None
+            or opts.avg_factor is not None):
+        if not opts.att_cfg:
+            raise ValueError(
+                "--att_K/--att_mode/--avg_factor require --att_cfg (the "
+                "reference reads them only for the attention variant, "
+                "WorkerScheduler/trainer.py:56-62)")
+        with open(opts.att_cfg) as f:
+            acfg = json.load(f)
+        if opts.att_K is not None:
+            acfg["K"] = opts.att_K
+        if opts.att_mode is not None:
+            acfg["att_mode"] = opts.att_mode
+        if opts.avg_factor is not None:
+            acfg["avg_factor"] = opts.avg_factor
+        opts.att_cfg = acfg   # build_pase accepts dicts
+        note(f"attention overrides applied: K={acfg.get('K')} "
+             f"att_mode={acfg.get('att_mode')} "
+             f"avg_factor={acfg.get('avg_factor')}")
+
+
+def compat_z_gan_cfg(opts, bpe):
+    """Legacy z-adversarial flags -> a gan_cfg dict (or None).
+
+    Reference semantics (core.py:302,378): the z loss activates from
+    epoch_+1 >= --warmup; the default 1e9 means never (the README PASE+
+    recipe passes --warmup 10000000 exactly to keep it off). The
+    trainer's gan_cfg warmup is in steps, so convert with bpe.
+    """
+    active = opts.warmup < opts.epoch
+    z_flags_given = (opts.zinit_weight != 1.0 or opts.zinc != 0.0002
+                     or opts.z_lr != 0.0004 or opts.adv_loss != "BCE"
+                     or opts.cchunk_prior)
+    if not active:
+        if z_flags_given:
+            print(f"[compat] z-adversarial flags given but --warmup "
+                  f"{opts.warmup} >= --epoch {opts.epoch}: the z loss "
+                  "never activates (core.py:302 'epoch to begin' "
+                  "semantics)")
+        return None
+    if opts.gan_cfg:
+        raise ValueError("pass either --gan_cfg or the legacy z flags "
+                         "(--warmup/--zinit_weight/--zinc/--z_lr/"
+                         "--adv_loss/--cchunk_prior), not both")
+    loss = {"BCE": "BCE", "L2": "LSGAN"}.get(opts.adv_loss)
+    if loss is None:
+        raise ValueError(f"--adv_loss {opts.adv_loss}: the reference "
+                         "supports BCE or L2 (train.py:406)")
+    cfg = {"type": "z",
+           "warmup": max(opts.warmup - 1, 0) * bpe,
+           "zinit_weight": opts.zinit_weight, "zinc": opts.zinc,
+           "z_lr": opts.z_lr, "loss": loss,
+           "cchunk_prior": bool(opts.cchunk_prior)}
+    print(f"[compat] legacy z-adversarial flags -> gan_cfg {cfg}")
+    return cfg
+
+
 def build_argparser():
     p = argparse.ArgumentParser()
     p.add_argument("--data_root", action="append", default=[])
@@ -134,6 +276,45 @@ def build_argparser():
                    help="host:port of process 0 (multi-host runs)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # ---- reference CLI compatibility (apply_reference_compat) ----------
+    # the rest of the reference train.py argparse surface
+    # (/root/reference/train.py:336-441), so its recipes run verbatim
+    g = p.add_argument_group("reference CLI compatibility")
+    g.add_argument("--warmup", type=int, default=1000000000,
+                   help="epoch to begin the legacy z-adversarial loss "
+                        "(core.py:302); < --epoch synthesizes a z "
+                        "gan_cfg (compat_z_gan_cfg)")
+    g.add_argument("--zinit_weight", type=float, default=1.0)
+    g.add_argument("--zinc", type=float, default=0.0002)
+    g.add_argument("--z_lr", type=float, default=0.0004)
+    g.add_argument("--adv_loss", type=str, default="BCE",
+                   help="BCE or L2 (reference train.py:406)")
+    g.add_argument("--cchunk_prior", action="store_true", default=False)
+    g.add_argument("--rndmin_train", action="store_true", default=False,
+                   help="legacy random-minion training "
+                        "(= --backprop_mode select_one)")
+    g.add_argument("--pretrained_ckpt", type=str, default=None,
+                   help="warm-start the frontend from a torch/jax "
+                        "encoder ckpt (trainer.py consumes it)")
+    g.add_argument("--att_K", type=int, default=None)
+    g.add_argument("--att_mode", type=str, default=None)
+    g.add_argument("--avg_factor", type=float, default=None)
+    g.add_argument("--zerospeech_cfg", action="append", default=None,
+                   help="JSON {noises_dir, noises_snrs}: additive noise "
+                        "on zero-speech inputs (config_zerospeech)")
+    g.add_argument("--do_eval", action="store_true", default=False)
+    g.add_argument("--tensorboard", type=str, default=None)
+    g.add_argument("--no-cuda", dest="no_cuda", action="store_true",
+                   default=False)
+    g.add_argument("--cache_on_load", action="store_true", default=False)
+    g.add_argument("--trans_cache", type=str, default=None)
+    g.add_argument("--vq", action="store_true", default=False)
+    g.add_argument("--vq_K", type=int, default=None)
+    g.add_argument("--lrdecay", type=float, default=0,
+                   help="step-mode LR gamma (legacy core.py StepLR; 0 "
+                        "keeps LR_Scheduler's 0.1)")
+    for flag, kw in _DEAD_REFERENCE_FLAGS:
+        g.add_argument(flag, **kw)
     return p
 
 
@@ -208,7 +389,53 @@ def build_distortions(opts, chunk_size):
     return cfg, assets, host_stage
 
 
+def build_zerospeech(opts, chunk_size):
+    """--zerospeech_cfg JSON {noises_dir, noises_snrs} -> (bank, snrs).
+
+    The reference's config_zerospeech (train.py:139-143) builds a
+    SimpleAdditive applied ONLY to zero-speech samples (noise-shaped
+    inputs at silence energy, targets stay silence); gated on
+    zero_speech_p > 0 like the reference (train.py:195-197).
+    """
+    cfgs = [c for c in (opts.zerospeech_cfg or [])
+            if str(c) not in ("None", "none", "")]
+    if not cfgs:
+        return None, (0, 5, 10)
+    if opts.zero_speech_p <= 0:
+        print("[compat] --zerospeech_cfg given but --zero_speech_p is 0: "
+              "zero-speech samples never occur (the reference gates the "
+              "transform on zero_speech_p too, train.py:195)")
+        return None, (0, 5, 10)
+    if opts.device_corpus or opts.synthetic:
+        raise ValueError("--zerospeech_cfg needs the host feed (the HBM "
+                         "device-corpus / synthetic paths carry no "
+                         "zero-speech mask); drop --device_corpus/"
+                         "--synthetic")
+    if len(set(cfgs)) > 1:
+        raise ValueError("one global --zerospeech_cfg is supported "
+                         "(repeat the same file per corpus if needed)")
+    with open(cfgs[0]) as f:
+        z = json.load(f)
+    unknown = [k for k in z if k not in ("noises_dir", "noises_snrs")]
+    if unknown:
+        raise ValueError(f"unknown zerospeech cfg keys {unknown}: "
+                         "config_zerospeech takes noises_dir, noises_snrs "
+                         "(reference train.py:139-143)")
+    import glob
+    from pase_tpu.data.distortions import load_wav_bank
+    dirs = z.get("noises_dir")
+    dirs = dirs if isinstance(dirs, list) else [dirs]
+    files = [f for d in dirs for f in glob.glob(os.path.join(d, "*.wav"))]
+    if not files:
+        raise ValueError(f"no noise wavs under {dirs}")
+    bank = load_wav_bank(files, 2 * chunk_size)
+    snrs = tuple(z.get("noises_snrs", (0, 5, 10)))
+    print(f"Zero-speech additive: {len(files)} noises, snrs {snrs}")
+    return bank, snrs
+
+
 def train(opts):
+    apply_reference_compat(opts)
     # persistent compile cache: the full train-step graph is minutes of
     # (remote) XLA compile; cache it so restarts/resumes pay seconds.
     # NOTE: importing jax here does NOT initialize the backend — config
@@ -436,8 +663,13 @@ def train(opts):
                random_scale=str2bool(opts.random_scale),
                ckpt_continue=not str2bool(opts.no_continue))
     gan_cfg = json.loads(opts.gan_cfg) if opts.gan_cfg else None
+    z_compat = compat_z_gan_cfg(opts, bpe)
+    if z_compat is not None:
+        gan_cfg = z_compat
+    zs_bank, zs_snrs = build_zerospeech(opts, opts.chunk_size)
     tr = Trainer(fe_cfg, wk_cfg, cfg, stats=stats, dist_cfg=dist_cfg,
-                 dist_assets=dist_assets, gan_cfg=gan_cfg, mesh=mesh)
+                 dist_assets=dist_assets, gan_cfg=gan_cfg, mesh=mesh,
+                 zs_bank=zs_bank, zs_snrs=zs_snrs)
     tr.train_(batcher, va_batcher, resume=cfg["ckpt_continue"])
 
 
