@@ -137,9 +137,15 @@ class HostDistortionStage:
 
     def __call__(self, batch: dict) -> dict:
         chunk = batch["chunk"].copy()
+        # zero-speech rows skip the whole distortion stack (reference
+        # dataset.py:499 returns before transforms on ZERO_SPEECH rows);
+        # without this the device-side zs restore would re-inject an
+        # already host-distorted chunk.
+        zs = np.asarray(batch.get("zs_mask", np.zeros(chunk.shape[0])))
+        zs = zs.reshape(chunk.shape[0], -1)[:, 0] > 0
         for t, p in zip(self.transforms, self.probs):
             for i in range(chunk.shape[0]):
-                if self.rng.rand() < p:
+                if self.rng.rand() < p and not zs[i]:
                     chunk[i] = t(chunk[i])
         out = dict(batch)
         out["chunk"] = chunk

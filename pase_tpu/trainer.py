@@ -191,7 +191,10 @@ class Trainer:
             dv = self._d_module.init(k_init, fake, train=False)
             d_params = dv["params"]
             d_bs = dv.get("batch_stats", {})
-            self._d_tx = _optax.adam(self.gan_cfg.get("lr", 5e-4))
+            # z_lr fallback: legacy z-flag cfgs carried the D lr under
+            # that key (reference core.py:216 opt.Adam(lr=cfg['z_lr']))
+            self._d_tx = _optax.adam(
+                self.gan_cfg.get("lr", self.gan_cfg.get("z_lr", 5e-4)))
             d_opt = self._d_tx.init(d_params)
         state = TrainState(
             params=params, batch_stats=batch_stats, opt_state=opt_state,

@@ -42,6 +42,19 @@ def test_host_stage_probability():
     assert batch["chunk"][0, 0] == 1.0  # input not mutated
 
 
+def test_host_stage_skips_zero_speech_rows():
+    """ZERO_SPEECH rows skip the entire distortion stack (reference
+    dataset.py:499) — the host stage must honor zs_mask so the device's
+    zs restore never sees a host-distorted chunk."""
+    stage = HostDistortionStage([lambda x: x * 0.5], [1.0], seed=0)
+    zs = np.zeros((6, 1), np.float32)
+    zs[[1, 4]] = 1.0
+    batch = {"chunk": np.ones((6, 10), np.float32), "zs_mask": zs}
+    out = stage(batch)
+    assert (out["chunk"][[1, 4]] == 1.0).all()      # zs rows untouched
+    assert (out["chunk"][[0, 2, 3, 5]] == 0.5).all()
+
+
 def test_build_host_stage_and_fire_rate():
     """The distortion-cfg keys construct a host stage that fires at the
     configured per-sample probability inside the batcher chain

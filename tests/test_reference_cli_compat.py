@@ -64,8 +64,10 @@ def test_legacy_z_adversarial_flags_synthesize_gan_cfg():
     train_cli.apply_reference_compat(opts)
     g = train_cli.compat_z_gan_cfg(opts, bpe=50)
     # epoch_+1 >= warmup -> active from 0-based epoch 2 -> step 100
+    # "lr" (not the dead "z_lr") so Trainer's D optimizer honors --z_lr
+    # (reference core.py:216 builds D's Adam from cfg['z_lr'])
     assert g == {"type": "z", "warmup": 100, "zinit_weight": 1.0,
-                 "zinc": 0.001, "z_lr": 0.0004, "loss": "LSGAN",
+                 "zinc": 0.001, "lr": 0.0004, "loss": "LSGAN",
                  "cchunk_prior": True}
 
 

@@ -143,7 +143,9 @@ def compat_z_gan_cfg(opts, bpe):
     recipe passes --warmup 10000000 exactly to keep it off). The
     trainer's gan_cfg warmup is in steps, so convert with bpe.
     """
-    active = opts.warmup < opts.epoch
+    # epoch_+1 >= warmup (core.py:378): --warmup == --epoch still
+    # activates on the final epoch, so <= not <.
+    active = opts.warmup <= opts.epoch
     z_flags_given = (opts.zinit_weight != 1.0 or opts.zinc != 0.0002
                      or opts.z_lr != 0.0004 or opts.adv_loss != "BCE"
                      or opts.cchunk_prior)
@@ -165,7 +167,7 @@ def compat_z_gan_cfg(opts, bpe):
     cfg = {"type": "z",
            "warmup": max(opts.warmup - 1, 0) * bpe,
            "zinit_weight": opts.zinit_weight, "zinc": opts.zinc,
-           "z_lr": opts.z_lr, "loss": loss,
+           "lr": opts.z_lr, "loss": loss,
            "cchunk_prior": bool(opts.cchunk_prior)}
     print(f"[compat] legacy z-adversarial flags -> gan_cfg {cfg}")
     return cfg
