@@ -7,30 +7,72 @@ Protocol (identical everything, CPU f32 on both sides):
     from bit-identical weights;
   * identical raw batches (numpy RandomState) and identical PRECOMPUTED
     worker targets (our on-device feature fns, computed once, fed to
-    both sides) — distortions off, ZNorm off, dropout 0, augment off;
-  * identical optimization: reference = per-component torch Adam + base
-    scheduler (sum of losses, one backward, every optimizer steps —
-    WorkerScheduler/worker_scheduler.py:43-75, trainer.py:86-143);
-    ours = the production jitted train step with backprop_mode='base'
+    both sides) — distortions off, dropout 0, augment per cfg;
+  * identical optimization: reference = per-component torch Adam driven
+    by the reference's OWN backprop_scheduler
+    (WorkerScheduler/worker_scheduler.py:43-429);
+    ours = the production jitted train step with the same backprop_mode
     and a constant-LR optax Adam (optim.py builds the same update);
   * N steps; per-worker losses logged each step on both sides.
 
+Banks:
+  * ``mini`` — the round-4 configuration (5-layer reduced trunk, 6
+    losses, ZNorm off, base policy); kept bit-for-bit so
+    benchmarks/trajectory_parity_r4.json stays reproducible.
+  * ``full`` — the production PASE+ frontend (cfg/frontend/PASE+.cfg)
+    with the COMPLETE workers+ bank (cfg/workers/workers+.cfg: cchunk
+    decoder + lps/lps_long/fbank/fbank_long/gtn/gtn_long/mfcc/mfcc_long/
+    prosody, all r=7, + mi/cmi) PLUS the spc/gap/overlap classification
+    workers (cfg/workers/workers.cfg spc entry; gap/overlap analogous)
+    and — under the base policy — the cchunk regularizer worker.
+    ZNorm is ON: per-key stats are computed from held-out batches and
+    applied in-graph by our production prepare() (data/pipeline.py),
+    and with the same mean/std arrays in numpy on the torch side.
+
+Policies: ``base`` | ``softmax`` | ``adaptive`` — the torch side calls
+the reference's backprop_scheduler verbatim; alpha/pi returned by the
+policy feeds the NEXT step's forward as the per-worker frontend
+gradient scale (reference trainer.py:229-243 alphaSG loop).
+
+Determinized stochastic heads:
+  * SPC — the exact reference SPCMinion.forward runs, with the module's
+    `random.choice` replaced by a queue that replays the same
+    (t, future_t, past_t) injected into our SPCMinion via the batch's
+    ``spc_idx`` key (minions.py:619-628).
+  * Gap — the reference GapMinion.forward CRASHES on modern torch: it
+    builds `torch.LongTensor([...])` from 0-dim float tensors
+    (minions.py:686-693), which only worked when torch<1.5 integer
+    `/` returned Long. The torch side therefore runs a re-statement of
+    minions.py:672-705 under those legacy semantics (label =
+    floor(|a-b|/(T-1))); injected index pairs are chosen with
+    |a-b| ∈ {0, T-1} so the legacy floor label and our float label
+    (documented deviation, README deviation table) coincide exactly.
+  * The reference applies a VECTOR alpha to every worker unsliced,
+    which crashes ScaleGrad on shape mismatch (documented intent
+    deviation): the torch forward here mirrors pase.py:310-356 but
+    indexes alpha per worker, matching our model.a_of.
+
 Passes when every worker's loss curve stays within 1 % relative of the
 reference's at every step. This is the strongest gradient/optimizer
-parity evidence available: agreement of full 50-step trajectories
-implies the backward pass and Adam updates match, not just the forward.
+parity evidence available: agreement of full trajectories implies the
+backward pass, Adam updates, and policy state evolution match, not just
+the forward.
 
-Run:  python experiments/trajectory_parity.py [--steps 50] [--json OUT]
+Run:  python experiments/trajectory_parity.py [--bank full]
+          [--policy base|softmax|adaptive] [--steps 50] [--json OUT]
 """
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 FRONTEND_CFG = {
@@ -77,75 +119,294 @@ WORKERS_CFG = {
 B, T, HOP = 8, 8000, 160
 FE_LR, MIN_LR = 5e-4, 5e-4
 
+# --- full production bank -------------------------------------------------
 
-def make_batches(n_steps, feat_fns, seed=1234):
+FULL_B, FULL_T = 4, 16000
+SPC_N, SPC_PAD = 5, 16     # reference SPCMinion defaults (minions.py:582)
+
+# spc entry verbatim from cfg/workers/workers.cfg:44-52; gap analogous
+# (GapMinion has no published cfg — hyperparams mirror spc); overlap is
+# the PASE+ distortion-mask head (train.py --dtrans_cfg overlap wiring)
+EXTRA_CLS = [
+    {"num_outputs": 1, "dropout": 0, "hidden_size": 256,
+     "hidden_layers": 1, "name": "spc", "type": "spc",
+     "loss": "BCEWithLogitsLoss", "skip": False},
+    {"num_outputs": 1, "dropout": 0, "hidden_size": 256,
+     "hidden_layers": 1, "name": "gap", "type": "gap",
+     "loss": "MSELoss", "skip": False},
+    {"num_outputs": 1, "dropout": 0, "hidden_size": 256,
+     "hidden_layers": 1, "name": "overlap",
+     "loss": "BCEWithLogitsLoss", "skip": False},
+]
+REGU_CFG = [{"name": "regu_cchunk", "type": "regularizer",
+             "loss": "MSELoss"}]
+
+
+def bank_cfgs(bank: str, policy: str = "base"):
+    """(frontend_cfg, workers_cfg, B, T) for a bank name."""
+    if bank == "mini":
+        return (dict(FRONTEND_CFG),
+                json.loads(json.dumps(WORKERS_CFG)), B, T)
+    with open(os.path.join(_REPO, "cfg/frontend/PASE+.cfg")) as f:
+        fe = json.load(f)
+    fe.pop("_source", None)
+    with open(os.path.join(_REPO, "cfg/workers/workers+.cfg")) as f:
+        wk = json.load(f)
+    wk.pop("_source", None)
+    wk["cls"] = wk["cls"] + json.loads(json.dumps(EXTRA_CLS))
+    if policy == "base":
+        # the reference's non-base schedulers ignore regularizer workers
+        # entirely (worker_scheduler.py:288-345 iterate cls+regr only),
+        # so the regu worker joins the base-policy comparison only
+        wk["regu"] = json.loads(json.dumps(REGU_CFG))
+    return fe, wk, FULL_B, FULL_T
+
+
+def _spc_gap_indices(rng, frames, bsz):
+    """Deterministic per-step SPC/Gap indices, honoring the reference's
+    sampling constraints (minions.py:619-628, 681)."""
+    m = SPC_PAD + SPC_N
+    tt = int(rng.randint(m + 1, frames - m))
+    ft = int(rng.randint(tt + SPC_PAD, frames - SPC_N))
+    pt = int(rng.randint(SPC_N, tt - SPC_PAD))
+    # gap pairs with |a-b| in {0, frames-1} so the reference's legacy
+    # floor label and our float label agree exactly (see module doc)
+    far = rng.rand(bsz) < 0.5
+    a = np.where(far, 0, rng.randint(0, frames, bsz))
+    b_ = np.where(far, frames - 1, a)
+    return (np.array([tt, ft, pt], np.int32),
+            np.stack([a, b_]).astype(np.int32))
+
+
+def make_batches(n_steps, feat_fns, seed=1234, bank="mini",
+                 has_spc_gap=None):
     """Raw wav batches + precomputed targets, identical for both sides."""
     import jax.numpy as jnp
+    bsz, t = (B, T) if bank == "mini" else (FULL_B, FULL_T)
+    frames = t // HOP
+    if has_spc_gap is None:
+        has_spc_gap = bank == "full"
     rng = np.random.RandomState(seed)
     batches = []
     for _ in range(n_steps):
-        raw = {k: (rng.randn(B, T) * 0.1).astype(np.float32)
+        raw = {k: (rng.randn(bsz, t) * 0.1).astype(np.float32)
                for k in ("chunk", "chunk_ctxt", "chunk_rand")}
         raw["cchunk"] = raw["chunk"].copy()
         feats = {name: np.asarray(fn(jnp.asarray(raw["cchunk"])))
                  for name, fn in feat_fns.items()}
-        batches.append((raw, feats))
+        extra = {}
+        if bank == "full":
+            extra["overlap"] = (rng.rand(bsz, frames) < 0.3
+                                ).astype(np.float32)
+        if has_spc_gap:
+            extra["spc_idx"], extra["gap_idx"] = _spc_gap_indices(
+                rng, frames, bsz)
+        batches.append((raw, feats, extra) if (extra or bank == "full")
+                       else (raw, feats))
     return batches
 
 
-def run_reference(batches, n_steps, state_dict_out):
-    """Torch side: reference pase model + base scheduler semantics."""
+def compute_stats(batches, n_stat=4):
+    """Per-key per-channel mean/std over the first n_stat batches'
+    targets — the stats-pkl role (make_trainset_statistics.py:86-104);
+    both sides consume the identical arrays."""
+    keys = batches[0][1].keys()
+    stats = {}
+    for k in keys:
+        cat = np.concatenate([b[1][k].reshape(-1, b[1][k].shape[-1])
+                              for b in batches[:n_stat]], axis=0)
+        stats[k] = {"mean": cat.mean(0),
+                    "std": np.maximum(cat.std(0), 1e-6)}
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# torch (reference) side
+# ---------------------------------------------------------------------------
+
+
+class _ChoiceQueue:
+    """Replaces the reference minions module's `random` so
+    SPCMinion.forward's three random.choice draws replay injected
+    indices (values are validated to be legal members of the choice
+    set, i.e. inside the reference's own sampling ranges)."""
+
+    def __init__(self):
+        self.q = []
+
+    def choice(self, seq):
+        v = self.q.pop(0)
+        assert v in seq, (v, seq[0], seq[-1])
+        return v
+
+
+def _legacy_gap_forward(minion, x, idx_pairs):
+    """minions.py:672-705 under torch<1.5 semantics (Long `/` Long is
+    floor division, making the LongTensor cast at :693 legal), with the
+    random index pairs injected. Everything that carries gradients (the
+    gather, concat, MLP blocks, W) is the reference's own module.
+    (alpha is applied by the caller — see _forward_per_worker_alpha.)"""
+    import torch
+    T_ = x.shape[2]
+    aidx = torch.LongTensor(np.asarray(idx_pairs[0]))
+    bidx = torch.LongTensor(np.asarray(idx_pairs[1]))
+    x_a, x_b, dists = [], [], []
+    for i_, (a_, b_) in enumerate(zip(aidx, bidx)):
+        x_a.append(x[i_, :, a_].unsqueeze(0))
+        x_b.append(x[i_, :, b_].unsqueeze(0))
+        dists.append(torch.div(torch.abs(a_ - b_), T_ - 1,
+                               rounding_mode="floor"))
+    x_a = torch.cat(x_a, dim=0)
+    x_b = torch.cat(x_b, dim=0)
+    x_full = torch.cat((x_a, x_b), dim=1).unsqueeze(2)
+    dists = torch.LongTensor(dists).view(-1, 1, 1)
+    h = x_full
+    for block in minion.blocks:
+        h = block(h)
+    y = minion.W(h)
+    if minion.skip:
+        return y, h, dists
+    return y, dists
+
+
+def _forward_per_worker_alpha(model, batch, alpha_vec, gap_idx=None):
+    """pase.py:310-356 forward with the per-worker gradient scaling the
+    reference INTENDED. As written, the reference is doubly broken here:
+    every minion discards `self.sg.apply(x, alpha)`'s return value
+    (minions.py:115,422,515,565,615,678 — autograd Functions are not
+    in-place, so the scaling node never enters the used graph and alpha
+    is a no-op), and had it been used, a vector alpha would crash on
+    shape mismatch (README deviation table 'documented intent'). Our
+    framework honors the intent (scale_grad at each minion entry,
+    per-worker alpha index); this torch side applies the same semantics
+    with the reference's own ScaleGrad on each worker's input."""
+
+    def a_of(i):
+        if np.ndim(alpha_vec) == 0:
+            return alpha_vec
+        v = alpha_vec[i]
+        return float(v.item() if hasattr(v, "item") else v)
+
+    x_ = dict(batch)
+    if not model.fwd_cchunk:
+        x_.pop("cchunk", None)
+    h = model.frontend(x_, "cpu")
+    if len(h) > 1:
+        h, chunk = h
+    preds, labels = {}, {}
+    for worker in model.regularizer_workers:
+        preds[worker.name] = chunk
+        labels[worker.name] = h[-1].detach()
+    n_cls = len(model.classification_workers)
+    for j, worker in enumerate(model.regression_workers):
+        y = worker(_sg(chunk, a_of(n_cls + j)), 1)
+        preds[worker.name] = y
+        labels[worker.name] = batch[worker.name].detach()
+    for i, worker in enumerate(model.classification_workers):
+        if worker.name == "gap":
+            ret = _legacy_gap_forward(worker.minion,
+                                      _sg(chunk, a_of(i)), gap_idx)
+            y, label = (ret[0], ret[2]) if len(ret) == 3 else ret
+            label = label.float()
+        elif worker.name == "spc":
+            y, label = worker(_sg(chunk, a_of(i)), 1, device="cpu")
+        elif worker.name == "overlap":
+            y = worker(_sg(chunk, a_of(i)), 1)
+            label = batch["overlap"].detach()
+        else:
+            # LIM/GIM concat the triplet; scaling each element scales
+            # the concat's gradient identically
+            y, label = worker([_sg(hh, a_of(i)) for hh in h], 1,
+                              device="cpu")
+        preds[worker.name] = y
+        labels[worker.name] = label
+    return h, chunk, preds, labels
+
+
+def _sg(x, alpha):
+    from pase.utils import ScaleGrad
+    return ScaleGrad.apply(x, alpha)
+
+
+def run_reference(batches, n_steps, state_dict_out, bank="mini",
+                  policy="base", stats=None, temp=1.0, alpha_ema=0.5):
+    """Torch side: reference pase model + the reference's OWN
+    backprop_scheduler object (worker_scheduler.py:9-429)."""
     import torch
     import torch.nn as tnn
     from conftest import load_reference
     load_reference()
+    import pase.models.Minions.minions as ref_minions
     from pase.models.pase import pase as RefPase
     from pase.losses import ContextualizedLoss
+    from pase.models.WorkerScheduler.worker_scheduler import \
+        backprop_scheduler
+
+    fe_cfg, wk_cfg, bsz, t = bank_cfgs(bank, policy)
 
     torch.manual_seed(0)
-    wcfg = json.loads(json.dumps(WORKERS_CFG))   # deep copy
-    for group in wcfg.values():
-        for e in group:
+    wcfg = json.loads(json.dumps(wk_cfg))
+    for group, entries in wcfg.items():
+        for e in entries:
             e.pop("transform", None)
-            e["loss"] = ContextualizedLoss(getattr(tnn, e["loss"])(),
-                                           r=e.get("r"))
-    model = RefPase(frontend_cfg=dict(FRONTEND_CFG), minions_cfg=wcfg)
+            e.pop("keys", None)
+            if group != "regu":
+                e["loss"] = ContextualizedLoss(getattr(tnn, e["loss"])(),
+                                               r=e.get("r"))
+    model = RefPase(frontend_cfg=dict(fe_cfg), minions_cfg=wcfg)
     model.train()
     state_dict_out.update(
         {k: v.detach().numpy().copy() for k, v in model.state_dict().items()})
 
     fe_opt = torch.optim.Adam(model.frontend.parameters(), lr=FE_LR)
-    w_opts = {w.name: torch.optim.Adam(w.parameters(), lr=MIN_LR)
-              for w in list(model.classification_workers) +
-              list(model.regression_workers)}
+    cls_opt = {w.name: torch.optim.Adam(w.parameters(), lr=MIN_LR)
+               for w in model.classification_workers}
+    regr_opt = {w.name: torch.optim.Adam(w.parameters(), lr=MIN_LR)
+                for w in model.regression_workers}
 
+    sched = backprop_scheduler(model, mode=policy)
+    has_spc = any(w.name == "spc" for w in model.classification_workers)
+    cq = _ChoiceQueue()
+    old_random = ref_minions.random
+    if has_spc:
+        ref_minions.random = cq        # SPC draws replay the queue
+
+    alphaSG = 1                        # reference trainer.py:161
     traj = []
-    for step in range(n_steps):
-        raw, feats = batches[step]
-        batch = {k: torch.tensor(v[:, None, :]) for k, v in raw.items()}
-        for name, f in feats.items():
-            batch[name] = torch.tensor(f.transpose(0, 2, 1))  # (B, C, T')
-        h, chunk, preds, labels = model.forward(batch, 1, "cpu")
-        fe_opt.zero_grad()
-        for o in w_opts.values():
-            o.zero_grad()
-        tot = 0
-        losses = {}
-        for w in list(model.classification_workers) + \
-                list(model.regression_workers):
-            l = w.loss_weight * w.loss(preds[w.name], labels[w.name])
-            losses[w.name] = float(l.detach())
-            tot = tot + l
-        tot.backward()
-        for o in w_opts.values():
-            o.step()
-        fe_opt.step()
-        losses["total"] = float(tot.detach())
-        traj.append(losses)
+    try:
+        for step in range(n_steps):
+            entry = batches[step]
+            raw, feats = entry[0], entry[1]
+            extra = entry[2] if len(entry) > 2 else {}
+            batch = {k: torch.tensor(v[:, None, :]) for k, v in raw.items()}
+            for name, f in feats.items():
+                if stats is not None and name in stats:
+                    f = (f - stats[name]["mean"]) / stats[name]["std"]
+                batch[name] = torch.tensor(
+                    np.ascontiguousarray(f.transpose(0, 2, 1)))  # (B, C, T')
+            if "overlap" in extra:
+                batch["overlap"] = torch.tensor(extra["overlap"][:, None, :])
+            if has_spc:
+                cq.q = [int(v) for v in extra["spc_idx"]]
+            h, chunk, preds, labels = _forward_per_worker_alpha(
+                model, batch, alphaSG, gap_idx=extra.get("gap_idx"))
+            losses, alphaSG = sched(preds, labels, cls_opt, regr_opt,
+                                    fe_opt, device="cpu",
+                                    dropout_rate=None, delta=None,
+                                    temperture=temp, alpha=alpha_ema)
+            traj.append({k: float(v) for k, v in losses.items()})
+    finally:
+        ref_minions.random = old_random
     return traj
 
 
-def run_ours(batches, n_steps, ref_state_dict):
+# ---------------------------------------------------------------------------
+# jax (ours) side
+# ---------------------------------------------------------------------------
+
+
+def run_ours(batches, n_steps, ref_state_dict, bank="mini",
+             policy="base", stats=None, temp=1.0, alpha_ema=0.5):
     import jax
     import jax.numpy as jnp
     from pase_tpu.trainer import Trainer
@@ -153,14 +414,16 @@ def run_ours(batches, n_steps, ref_state_dict):
                                      torch_to_variables)
     from pase_tpu.parallel.mesh import get_mesh, shard_batch
 
+    fe_cfg, wk_cfg, bsz, t = bank_cfgs(bank, policy)
+
     one = get_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
-    cfg = dict(backprop_mode="base", hop=HOP, bpe=1000, epoch=1000,
-               batch_size=B, chunk_size=T, log_freq=10**9,
-               fe_lr=FE_LR, min_lr=MIN_LR,
+    cfg = dict(backprop_mode=policy, hop=HOP, bpe=1000, epoch=1000,
+               batch_size=bsz, chunk_size=t, log_freq=10**9,
+               fe_lr=FE_LR, min_lr=MIN_LR, temp=temp, alpha=alpha_ema,
                lr_mode="step", lrdec_step=10**9,   # constant LR
                save_path="/tmp/traj_parity_ckpt")
-    tr = Trainer(FRONTEND_CFG, json.loads(json.dumps(WORKERS_CFG)), cfg,
-                 mesh=one)
+    tr = Trainer(fe_cfg, json.loads(json.dumps(wk_cfg)), cfg,
+                 mesh=one, stats=stats)
     state = tr.init_state(0)
 
     # identical init: import the reference state dict
@@ -183,9 +446,12 @@ def run_ours(batches, n_steps, ref_state_dict):
     step_fn = tr._make_train_step()
     traj = []
     for step in range(n_steps):
-        raw, feats = batches[step]
+        entry = batches[step]
+        raw, feats = entry[0], entry[1]
+        extra = entry[2] if len(entry) > 2 else {}
         b = {k: jnp.asarray(v) for k, v in raw.items()}
         b.update({k: jnp.asarray(v) for k, v in feats.items()})
+        b.update({k: jnp.asarray(v) for k, v in extra.items()})
         b = shard_batch(b, one)
         state, losses = step_fn(state, b)
         traj.append({k: float(v) for k, v in jax.device_get(losses).items()
@@ -215,10 +481,11 @@ def compare(ref_traj, our_traj, tol=0.01):
     return ok, {"mean_rel": mean_rel, "max_rel": max_rel}
 
 
-def feature_fns():
+def feature_fns(bank="mini", policy="base"):
     from pase_tpu.model import parse_workers_cfg
     from pase_tpu.ops.features import feature_fn_for_worker
-    meta = parse_workers_cfg(json.loads(json.dumps(WORKERS_CFG)))
+    _, wk_cfg, _, _ = bank_cfgs(bank, policy)
+    meta = parse_workers_cfg(json.loads(json.dumps(wk_cfg)))
     fns = {}
     for e in meta["regr"]:
         fn = feature_fn_for_worker(e["name"], e.get("transform"), hop=HOP)
@@ -231,31 +498,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--bank", default="mini", choices=("mini", "full"))
+    ap.add_argument("--policy", default="base",
+                    choices=("base", "softmax", "adaptive"))
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
 
-    fns = feature_fns()
-    batches = make_batches(args.steps, fns)
+    fns = feature_fns(args.bank, args.policy)
+    batches = make_batches(args.steps, fns, bank=args.bank)
+    stats = compute_stats(batches) if args.bank == "full" else None
     ref_sd = {}
-    print(f"[traj-parity] reference side: {args.steps} steps ...")
-    ref_traj = run_reference(batches, args.steps, ref_sd)
+    print(f"[traj-parity] bank={args.bank} policy={args.policy} "
+          f"reference side: {args.steps} steps ...")
+    ref_traj = run_reference(batches, args.steps, ref_sd, bank=args.bank,
+                             policy=args.policy, stats=stats)
     print(f"[traj-parity] jax side: {args.steps} steps ...")
-    our_traj = run_ours(batches, args.steps, ref_sd)
-    ok, stats = compare(ref_traj, our_traj, args.tol)
+    our_traj = run_ours(batches, args.steps, ref_sd, bank=args.bank,
+                        policy=args.policy, stats=stats)
+    ok, stats_cmp = compare(ref_traj, our_traj, args.tol)
     print("[traj-parity] per-worker relative loss deviation over "
           f"{args.steps} steps (curve tol {args.tol}, pointwise "
           f"{3 * args.tol}):")
-    for n in sorted(stats["mean_rel"]):
-        m, x = stats["mean_rel"][n], stats["max_rel"][n]
+    for n in sorted(stats_cmp["mean_rel"]):
+        m, x = stats_cmp["mean_rel"][n], stats_cmp["max_rel"][n]
         flag = "OK" if (m <= args.tol and x <= 3 * args.tol) else "FAIL"
-        print(f"  {n:10s} mean {m:.3e}  max {x:.3e}  {flag}")
+        print(f"  {n:12s} mean {m:.3e}  max {x:.3e}  {flag}")
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"steps": args.steps, **stats,
+            json.dump({"steps": args.steps, "bank": args.bank,
+                       "policy": args.policy, **stats_cmp,
                        "ok": ok, "ref": ref_traj, "ours": our_traj}, f)
     print("[traj-parity]", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)

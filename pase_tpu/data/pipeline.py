@@ -139,7 +139,14 @@ def make_prepare_fn(workers_meta: Dict[str, Any],
             chunk = jnp.where(zs_m[:, None] > 0, zs_noisy, chunk)
         out["chunk"] = chunk
         if has_overlap:
-            out["overlap"] = overlap
+            # a batch-provided mask (precomputed cache / parity harness)
+            # wins over the in-graph distortion engine's label
+            out["overlap"] = batch.get("overlap", overlap)
+        for k in ("spc_idx", "gap_idx"):
+            # deterministic SPC/Gap frame indices (parity harnesses) ride
+            # through to the model, which passes them to the minions
+            if k in batch:
+                out[k] = batch[k]
         return out
 
     return prepare

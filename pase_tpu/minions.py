@@ -202,20 +202,28 @@ class SPCMinion(nn.Module):
     skip: bool = True
 
     @nn.compact
-    def __call__(self, x, alpha=1.0, train: bool = False):
+    def __call__(self, x, alpha=1.0, train: bool = False, idx=None):
         x = scale_grad(x, alpha)
         b, t, c = x.shape
         n = self.ctxt_frames
         m = self.seq_pad + n
-        key = self.make_rng("sample")
-        k1, k2, k3 = jax.random.split(key, 3)
-        tt = jax.random.randint(k1, (), m + 1, t - m)
-        # future_t in [tt + seq_pad, t - n); past_t in [n, tt - seq_pad)
-        u2 = jax.random.uniform(k2, ())
-        u3 = jax.random.uniform(k3, ())
-        ft = (tt + self.seq_pad +
-              (u2 * ((t - n) - (tt + self.seq_pad))).astype(jnp.int32))
-        pt = n + (u3 * ((tt - self.seq_pad) - n)).astype(jnp.int32)
+        if idx is not None:
+            # injected (t, future_t, past_t) — deterministic parity mode
+            # (the reference samples these with python random,
+            # minions.py:619-628; injecting identical indices on both
+            # sides makes the stochastic head oracle-comparable)
+            idx = jnp.asarray(idx)
+            tt, ft, pt = idx[0], idx[1], idx[2]
+        else:
+            key = self.make_rng("sample")
+            k1, k2, k3 = jax.random.split(key, 3)
+            tt = jax.random.randint(k1, (), m + 1, t - m)
+            # future_t in [tt + seq_pad, t - n); past_t in [n, tt - seq_pad)
+            u2 = jax.random.uniform(k2, ())
+            u3 = jax.random.uniform(k3, ())
+            ft = (tt + self.seq_pad +
+                  (u2 * ((t - n) - (tt + self.seq_pad))).astype(jnp.int32))
+            pt = n + (u3 * ((tt - self.seq_pad) - n)).astype(jnp.int32)
 
         fut = jax.lax.dynamic_slice_in_dim(x, ft, n, axis=1)      # [B,N,C]
         past = jax.lax.dynamic_slice_in_dim(x, pt - n, n, axis=1)
@@ -244,13 +252,19 @@ class GapMinion(nn.Module):
     skip: bool = True
 
     @nn.compact
-    def __call__(self, x, alpha=1.0, train: bool = False):
+    def __call__(self, x, alpha=1.0, train: bool = False, idx=None):
         x = scale_grad(x, alpha)
         b, t, c = x.shape
-        key = self.make_rng("sample")
-        ka, kb = jax.random.split(key)
-        aidx = jax.random.randint(ka, (b,), 0, t)
-        bidx = jax.random.randint(kb, (b,), 0, t)
+        if idx is not None:
+            # injected ([aidx], [bidx]) pairs — deterministic parity mode
+            # (reference samples with np.random.randint, minions.py:681)
+            idx = jnp.asarray(idx)
+            aidx, bidx = idx[0], idx[1]
+        else:
+            key = self.make_rng("sample")
+            ka, kb = jax.random.split(key)
+            aidx = jax.random.randint(ka, (b,), 0, t)
+            bidx = jax.random.randint(kb, (b,), 0, t)
         xa = jnp.take_along_axis(x, aidx[:, None, None], axis=1)[:, 0]
         xb = jnp.take_along_axis(x, bidx[:, None, None], axis=1)[:, 0]
         dists = (jnp.abs(aidx - bidx) / (t - 1)).astype(jnp.float32)

@@ -232,12 +232,15 @@ class PASE(nn.Module):
             aw = a_of(widx)
             wchunk, wmask = worker_view(name)
             if name in ("spc", "gap"):
+                # optional injected frame indices (parity harnesses) make
+                # the stochastic sampling deterministic on both sides
+                inj = batch.get(f"{name}_idx")
                 if name == "gap":
-                    y, dists = worker(wchunk, aw, train=train)
+                    y, dists = worker(wchunk, aw, train=train, idx=inj)
                     preds[name] = y
                     labels[name] = dists
                 else:
-                    y = worker(wchunk, aw, train=train)
+                    y = worker(wchunk, aw, train=train, idx=inj)
                     preds[name] = y
                     labels[name] = make_mi_labels(y)
             elif name == "overlap":

@@ -40,3 +40,28 @@ def test_training_trajectory_matches_reference(ref):
     # over 12 steps the agreement should be float-noise tight, not just
     # inside 1 % (divergence compounds later — see compare())
     assert max(stats["max_rel"].values()) < 1e-3, stats
+
+
+@pytest.mark.parametrize("policy", ["base", "adaptive"])
+def test_full_production_bank_trajectory(ref, policy):
+    """FULL-bank gate (north-star at production scale): PASE+ frontend +
+    every workers+ loss + spc/gap/overlap (+ the cchunk regularizer
+    under base), ZNorm on, against the reference's own
+    backprop_scheduler (worker_scheduler.py:43-429) — including the
+    'adaptive' policy's Q/pi recurrent state feeding the next step's
+    per-worker frontend gradient scale. 50-step artifact:
+    benchmarks/trajectory_parity_full_r5.json
+    (experiments/trajectory_parity.py --bank full)."""
+    tp = _load_exp()
+    n = 6
+    fns = tp.feature_fns("full", policy)
+    batches = tp.make_batches(n, fns, bank="full")
+    stats_z = tp.compute_stats(batches)
+    sd = {}
+    ref_traj = tp.run_reference(batches, n, sd, bank="full",
+                                policy=policy, stats=stats_z)
+    our_traj = tp.run_ours(batches, n, sd, bank="full", policy=policy,
+                           stats=stats_z)
+    ok, stats = tp.compare(ref_traj, our_traj, tol=0.01)
+    assert ok, f"per-worker relative loss deviation: {stats}"
+    assert max(stats["max_rel"].values()) < 1e-3, stats
