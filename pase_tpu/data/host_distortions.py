@@ -25,9 +25,35 @@ def _have(binary: str) -> bool:
     return shutil.which(binary) is not None
 
 
+def _load_codec2lite():
+    """ctypes handle to the vendored codec2-style vocoder
+    (native/codec2_lite.cc), or None."""
+    import ctypes
+    so = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native",
+        "libpase_codec2lite.so")
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.codec2lite_roundtrip.restype = ctypes.c_long
+        lib.codec2lite_roundtrip.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        return lib
+    except OSError:
+        return None
+
+
 class Codec2RoundTrip:
     """Encode+decode through codec2 at `kbps` (default 1600 bps mode),
-    returning the degraded waveform (transforms.py:2131-2325)."""
+    returning the degraded waveform (transforms.py:2131-2325).
+
+    Backend order: pycodec2 > c2enc/c2dec binaries > the vendored
+    codec2-style LPC vocoder (native/codec2_lite.cc — a workalike of
+    the same codec family, built by `make -C native`, so the distortion
+    works in images without the external codec2 library). Identity only
+    when none of the three exists."""
 
     def __init__(self, kbps: int = 1600, cache_dir: Optional[str] = None):
         self.kbps = kbps
@@ -39,9 +65,37 @@ class Codec2RoundTrip:
             self.available = True
         except ImportError:
             self.pycodec2 = False
+        self.lite = None
+        if not self.available:
+            self.lite = _load_codec2lite()
+            self.available = self.lite is not None
         if not self.available:
             print("[host_distortions] codec2 unavailable; Codec2RoundTrip "
                   "is identity")
+
+    def _lite_roundtrip(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        """Codec2Buffer semantics (transforms.py:2150-2181): decimate to
+        8 kHz, int16 grid, codec round trip, resample back to sr,
+        energy-match to the input (norm_energy, transforms.py:154)."""
+        import ctypes
+        from scipy.signal import decimate, resample
+        inwav = wav.astype(np.float32)
+        x8 = decimate(inwav, sr // 8000).astype(np.float32)
+        # int16 grid like the reference's int16 packing
+        x8 = np.round(np.clip(x8, -1, 1) * (2 ** 15)) / (2 ** 15)
+        x8 = np.ascontiguousarray(x8, np.float32)
+        out8 = np.zeros_like(x8)
+        rc = self.lite.codec2lite_roundtrip(
+            x8.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x8),
+            out8.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(self.kbps))
+        if rc < 0:
+            return wav
+        out = resample(out8, len(out8) * (sr // 8000)).astype(np.float32)
+        out = out[:len(inwav)]
+        ie = float(np.dot(inwav, inwav))
+        oe = float(np.dot(out, out))
+        return (np.sqrt(ie / (oe + 1e-14)) * out).astype(np.float32)
 
     def __call__(self, wav: np.ndarray, uttname: Optional[str] = None,
                  sr: int = 16000) -> np.ndarray:
@@ -55,6 +109,8 @@ class Codec2RoundTrip:
                 return out
         if not self.available:
             return wav
+        if self.lite is not None:
+            return self._lite_roundtrip(wav, sr)
         if self.pycodec2:
             import pycodec2
             c2 = pycodec2.Codec2(self.kbps)
