@@ -1,0 +1,246 @@
+"""Per-op / per-subsystem HBM-traffic attribution for the train step.
+
+experiments/hlo_accounting.py certifies the roofline with XLA's
+cost_analysis() TOTALS; this tool breaks the bytes down: it parses the
+compiled executable's optimized HLO (compiled.as_text()), computes each
+top-level instruction's HBM traffic (operand bytes + output bytes — the
+standard fusion-boundary accounting; in-fusion intermediates never
+touch HBM), and aggregates by the jax name-stack in the op metadata
+into subsystems (prepare/features, encoder fwd, encoder bwd, each head,
+loss, optimizer, ...). The parser's total is cross-checked against
+cost_analysis()['bytes accessed'].
+
+Usage:  python experiments/hlo_attribution.py [--top 30] [--json OUT]
+        (compiles the exact bench.py train step; cached compiles are
+         seconds, cold ~10 min over the axon compile service)
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "f16": 2, "bf16": 2, "f8e4m3": 1, "f8e5m2": 1,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1, "c64": 8, "c128": 16, "s4": 1, "u4": 1,
+    "token": 0, "opaque": 0,
+}
+
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO shape string (tuples summed)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_str):
+        nb = _DTYPE_BYTES.get(dt)
+        if nb is None:
+            continue
+        numel = 1
+        if dims:
+            for d in dims.split(","):
+                numel *= int(d)
+        total += numel * nb
+    return total
+
+
+_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%([^\s=]+)\s*=\s*(\([^)]*\)|\S+?)\s+([a-z0-9\-]+)\(")
+_OPERAND_RE = re.compile(r"%([^\s,()]+)")
+_META_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]*)"')
+
+
+def parse_computations(hlo: str):
+    """{comp_name: [(instr_name, shape_str, opcode, [operands], op_name)]}"""
+    comps = {}
+    cur = None
+    for line in hlo.splitlines():
+        if line.startswith("%") or line.startswith("ENTRY"):
+            m = re.match(r"(?:ENTRY\s+)?%?([^\s(]+)\s*\(", line)
+            if m:
+                cur = m.group(1)
+                comps[cur] = []
+                comps[cur + "/__entry__"] = line.startswith("ENTRY")
+            continue
+        if cur is None:
+            continue
+        m = _INSTR_RE.match(line)
+        if not m:
+            continue
+        name, shape, opcode = m.groups()
+        rest = line[m.end():]
+        # operands: %refs before any attribute section
+        args_part = rest.split("),", 1)[0]
+        operands = _OPERAND_RE.findall(args_part)
+        meta = _META_RE.search(line)
+        comps[cur].append((name, shape, opcode,
+                           operands, meta.group(1) if meta else ""))
+    return comps
+
+
+# opcodes that move no HBM bytes at the top level
+_FREE = {"parameter", "constant", "bitcast", "tuple", "get-tuple-element",
+         "after-all", "partition-id", "replica-id", "iota"}
+
+
+def instruction_bytes(comps, comp_name):
+    """[(bytes, opcode, op_name, instr_name)] for a computation's
+    top-level instructions (fusion operand/output accounting)."""
+    instrs = comps[comp_name]
+    shapes = {n: s for n, s, _, _, _ in instrs}
+    out = []
+    for name, shape, opcode, operands, op_name in instrs:
+        if opcode in _FREE:
+            continue
+        b = shape_bytes(shape)
+        for o in operands:
+            if o in shapes:
+                b += shape_bytes(shapes[o])
+        out.append((b, opcode, op_name, name))
+    return out
+
+
+def classify(op_name: str, opcode: str) -> str:
+    """jax name-stack -> subsystem bucket."""
+    s = op_name
+    bwd = "transpose(" in s
+    low = s.lower()
+
+    def tag(base):
+        return base + (" [bwd]" if bwd else " [fwd]")
+
+    if opcode in ("all-reduce", "all-gather", "reduce-scatter",
+                  "collective-permute"):
+        return "collectives"
+    if "qrnn" in low or "forget_mult" in low or "custom-call" == opcode:
+        return tag("encoder/qrnn")
+    if "/frontend/" in low or "sinc" in low or "feblock" in low \
+            or "denseskip" in low or "wavefe" in low:
+        return tag("encoder")
+    for head in ("lps_long", "mfcc_long", "fbank_long", "gtn_long",
+                 "lps", "mfcc", "fbank", "gtn", "prosody", "cchunk",
+                 "chunk", "cmi", "mi", "spc", "gap", "overlap"):
+        if f"/{head}/" in low or f"'{head}'" in low:
+            return tag(f"head/{head}")
+    if "framed_mse" in low or "loss" in low:
+        return tag("loss")
+    if "prepare" in low or "distort" in low or "stft" in low \
+            or "feature" in low or "reverb" in low or "additive" in low \
+            or "znorm" in low:
+        return "prepare/targets"
+    if any(k in low for k in ("adam", "optax", "apply_updates",
+                              "update_moment", "bias_correction",
+                              "scale_by")):
+        return "optimizer"
+    if opcode in ("copy", "copy-start", "copy-done", "transpose"):
+        return "layout/copies"
+    return tag("other")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--json", default=None)
+    opts = ap.parse_args()
+
+    import bench
+    jax = bench._setup_jax()
+    import jax.numpy as jnp
+    from pase_tpu.trainer import Trainer
+    from pase_tpu.parallel.mesh import get_mesh, shard_batch
+    from pase_tpu.data.dataset import SyntheticChunkBatcher
+    from pase_tpu.data.distortions import DistortionConfig, DistortionAssets
+    from pase_tpu.model import parse_workers_cfg
+    from pase_tpu.data.pipeline import compute_stats
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "cfg/frontend/PASE+.cfg")) as f:
+        fe_cfg = {k: v for k, v in json.load(f).items()
+                  if not k.startswith("_")}
+    with open(os.path.join(root, "cfg/workers/workers+.cfg")) as f:
+        wk_cfg = {k: v for k, v in json.load(f).items()
+                  if not k.startswith("_")}
+    B, T = bench.B, bench.T
+
+    rng = np.random.RandomState(0)
+    ir = np.zeros((4, 8000), np.float32)
+    ir[:, 0] = 1.0
+    assets = DistortionAssets(
+        ir_bank=jnp.asarray(ir), ir_pmax=jnp.asarray([0, 0, 0, 0]),
+        noise_bank=jnp.asarray(rng.randn(8, T * 2).astype(np.float32) * .1),
+        overlap_bank=jnp.asarray(rng.randn(4, T * 2).astype(np.float32) * .1))
+    dcfg = DistortionConfig(reverb_p=.5, overlap_p=.1, noises_p=.4,
+                            clip_p=.2, chop_p=.2)
+    meta = parse_workers_cfg(wk_cfg)
+    stats = compute_stats(SyntheticChunkBatcher(8, T, seed=11), meta,
+                          max_batches=2)
+    cfg = dict(backprop_mode="base", hop=160, bpe=100, epoch=400,
+               batch_size=B, chunk_size=T, log_freq=100,
+               fe_lr=1e-3, min_lr=5e-4, lr_mode="poly",
+               compute_dtype=opts.compute_dtype,
+               save_path="/tmp/pase_hlo_ckpt")
+    tr = Trainer(fe_cfg, wk_cfg, cfg, stats=stats, dist_cfg=dcfg,
+                 dist_assets=assets, mesh=get_mesh())
+    state = tr.init_state(0)
+    step = tr._make_train_step()
+    b = iter(SyntheticChunkBatcher(B, T, seed=0))
+    raw = shard_batch({k: jnp.asarray(v) for k, v in next(b).items()},
+                      tr.mesh)
+    print("[attr] compiling the bench train step ...")
+    compiled = step.lower(state, raw).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    xla_bytes = float(ca.get("bytes accessed", float("nan")))
+
+    hlo = compiled.as_text()
+    comps = parse_computations(hlo)
+    # top-level = the entry computation plus while/cond bodies it calls
+    entry = [c for c in comps
+             if comps.get(c + "/__entry__") is True]
+    assert entry, "no ENTRY computation found"
+    rows = instruction_bytes(comps, entry[0])
+
+    total = sum(r[0] for r in rows)
+    print(f"[attr] parsed {len(rows)} top-level instructions; "
+          f"sum {total / 1e9:.1f} GB vs cost_analysis "
+          f"{xla_bytes / 1e9:.1f} GB "
+          f"(ratio {total / max(xla_bytes, 1):.2f})")
+
+    buckets = defaultdict(float)
+    for by, opcode, op_name, _ in rows:
+        buckets[classify(op_name, opcode)] += by
+    ranked = sorted(buckets.items(), key=lambda kv: -kv[1])
+    print("\n[attr] per-subsystem HBM traffic:")
+    for k, v in ranked:
+        print(f"  {k:24s} {v / 1e9:7.2f} GB  ({100 * v / total:5.1f} %)")
+
+    print(f"\n[attr] top {opts.top} instructions:")
+    rows.sort(key=lambda r: -r[0])
+    for by, opcode, op_name, name in rows[:opts.top]:
+        print(f"  {by / 1e6:9.1f} MB  {opcode:14s} "
+              f"{classify(op_name, opcode):22s} {op_name[:90]}")
+
+    if opts.json:
+        with open(opts.json, "w") as f:
+            json.dump({
+                "xla_bytes_accessed": xla_bytes,
+                "parsed_bytes_total": total,
+                "buckets_gb": {k: v / 1e9 for k, v in ranked},
+                "top_instructions": [
+                    {"mb": by / 1e6, "opcode": opcode, "op_name": op_name}
+                    for by, opcode, op_name, _ in rows[:opts.top]],
+            }, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
