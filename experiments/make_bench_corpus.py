@@ -61,15 +61,22 @@ def main():
     print(f"writing {n_utts} x {opts.seg_s:.0f}s utterances "
           f"({opts.hours:.1f} h) ...")
     names = []
+    # speaker-CONSISTENT voices: each filename speaker has fixed base
+    # (f0, tilt), utterances jitter around it — so the filename label
+    # actually identifies the voice and the rehearsal/soak speaker-ID
+    # probes measure representation quality, not label noise
+    spk_f0 = rng.uniform(95, 250, opts.n_speakers)
+    spk_tilt = rng.uniform(0.75, 1.45, opts.n_speakers)
     # several utterances per (spk, book) so the prefix scheme finds
     # neighbors (rec strips the trailing digit-run)
     per_book = 10
     for i in range(n_utts):
-        spk = 100 + (i // (per_book * 4)) % opts.n_speakers
+        si = (i // (per_book * 4)) % opts.n_speakers
+        spk = 100 + si
         book = 10000 + (i // per_book) % 4000
         utt = i % per_book
-        f0 = rng.uniform(80, 260, (1, 1))
-        tilt = rng.uniform(0.7, 1.5, (1, 1))
+        f0 = np.array([[spk_f0[si] * rng.uniform(0.94, 1.06)]])
+        tilt = np.array([[spk_tilt[si] + rng.uniform(-0.08, 0.08)]])
         wav = gen._speechlike(f0, tilt, seg)[0]
         name = f"{spk}-{book}-{utt:04d}.wav"
         write_wav(os.path.join(wav_dir, name), np.clip(wav, -1, 1), sr)

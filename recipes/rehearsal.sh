@@ -157,11 +157,18 @@ print(f"[rehearsal] PASS: serve-encode == forward-chunk "
       f"(shape {served.shape}, max|err|={err:.2e})")
 PY
 
-# ---- 8. the supervised probe actually ran -----------------------------------
+# ---- 8. the probe ran AND pretraining beats a random encoder ----------------
 for _ in $(seq 1 600); do
     ls "$WORK"/runB/sup_aux/probe_*.json >/dev/null 2>&1 && break
     sleep 1
 done
+# transfer margin: the same probe with an untrained (random-init)
+# encoder of the same architecture (the experiments/transfer_gate.py
+# gate, rehearsal-sized)
+python run_probe.py utt --fe_cfg "$FE_CFG" \
+    --train_list "$WORK/probe_tr.lst" --test_list "$WORK/probe_te.lst" \
+    --data_root "$WORK/corpus/wavs" --epochs 5 \
+    --out "$WORK/probe_random.json" >> "$LOG" 2>&1
 python - "$WORK" <<'PY'
 import glob, json, sys
 work = sys.argv[1]
@@ -170,8 +177,18 @@ assert outs, "no probe output — AuxiliarSuperviser never fired"
 m = json.load(open(outs[-1]))
 acc = m.get("test_sentence_acc")
 assert acc is not None and 0.0 <= acc <= 1.0, m
-print(f"[rehearsal] PASS: epoch-boundary speaker-ID probe ran "
-      f"({len(outs)} firings, last test_sentence_acc={acc:.3f})")
+rnd = json.load(open(f"{work}/probe_random.json"))["test_sentence_acc"]
+chance = 1.0 / 10                       # 10-speaker lists above
+# the trained encoder must (a) beat chance decisively and (b) not be
+# WORSE than random init; strict improvement is asserted only when the
+# random encoder hasn't already saturated the (small) rehearsal corpus
+# (the full-scale margin evidence is experiments/transfer_gate.py)
+assert acc > chance + 0.15, (acc, chance)
+assert acc >= rnd - 1e-9, (acc, rnd)
+if rnd < 0.95:
+    assert acc > rnd, f"pretraining did not improve the probe: {acc} vs {rnd}"
+print(f"[rehearsal] PASS: probe ran ({len(outs)} firings); pretrained "
+      f"acc {acc:.3f} vs random-init {rnd:.3f} (chance {chance:.2f})")
 PY
 
 note "REHEARSAL COMPLETE — all assertions passed"
