@@ -71,6 +71,17 @@ def test_legacy_z_adversarial_flags_synthesize_gan_cfg():
                  "cchunk_prior": True}
 
 
+def test_warmup_equal_to_epoch_still_activates():
+    """Reference core.py:378 applies the z loss when epoch_+1 >= warmup,
+    so --warmup == --epoch activates on the FINAL epoch (0-based
+    epoch_ = epoch-1 -> epoch_+1 = epoch >= warmup)."""
+    opts = _parse(BASE + ["--epoch", "5", "--warmup", "5",
+                          "--cchunk_prior"])
+    train_cli.apply_reference_compat(opts)
+    g = train_cli.compat_z_gan_cfg(opts, bpe=10)
+    assert g is not None and g["warmup"] == 40   # epoch_ 4 -> step 40
+
+
 def test_z_flags_conflict_with_gan_cfg():
     opts = _parse(BASE + ["--epoch", "150", "--warmup", "3",
                           "--gan_cfg", '{"type": "z"}'])
