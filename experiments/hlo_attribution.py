@@ -56,6 +56,7 @@ _INSTR_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%([^\s=]+)\s*=\s*(\([^)]*\)|\S+?)\s+([a-z0-9\-]+)\(")
 _OPERAND_RE = re.compile(r"%([^\s,()]+)")
 _META_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]*)"')
+_SRC_RE = re.compile(r'source_file="([^"]*)"')
 
 
 def parse_computations(hlo: str):
@@ -81,8 +82,10 @@ def parse_computations(hlo: str):
         args_part = rest.split("),", 1)[0]
         operands = _OPERAND_RE.findall(args_part)
         meta = _META_RE.search(line)
-        comps[cur].append((name, shape, opcode,
-                           operands, meta.group(1) if meta else ""))
+        srcm = _SRC_RE.search(line)
+        comps[cur].append((name, shape, opcode, operands,
+                           meta.group(1) if meta else "",
+                           srcm.group(1) if srcm else ""))
     return comps
 
 
@@ -95,24 +98,32 @@ def instruction_bytes(comps, comp_name):
     """[(bytes, opcode, op_name, instr_name)] for a computation's
     top-level instructions (fusion operand/output accounting)."""
     instrs = comps[comp_name]
-    shapes = {n: s for n, s, _, _, _ in instrs}
+    shapes = {n: s for n, s, _, _, _, _ in instrs}
     out = []
-    for name, shape, opcode, operands, op_name in instrs:
+    for name, shape, opcode, operands, op_name, src_file in instrs:
         if opcode in _FREE:
             continue
         b = shape_bytes(shape)
         for o in operands:
             if o in shapes:
                 b += shape_bytes(shapes[o])
-        out.append((b, opcode, op_name, name))
+        out.append((b, opcode, op_name, name, src_file))
     return out
 
 
-def classify(op_name: str, opcode: str) -> str:
-    """jax name-stack -> subsystem bucket."""
+def classify(op_name: str, opcode: str, src_file: str = "") -> str:
+    """jax name-stack + source file -> subsystem bucket.
+
+    The name stack alone misses the prepare stage (its ops carry bare
+    names like `jit(train_step)/square`), so ops OUTSIDE the jvp(PASE)
+    model scope are bucketed by their source module: ops/features.py /
+    ops/signal.py / data/distortions.py / data/pipeline.py all belong
+    to the prepare stage (distortions + worker targets + ZNorm)."""
     s = op_name
     bwd = "transpose(" in s
     low = s.lower()
+    in_model = "jvp(pase)" in low
+    src = src_file.rsplit("/", 1)[-1]
 
     def tag(base):
         return base + (" [bwd]" if bwd else " [fwd]")
@@ -132,16 +143,24 @@ def classify(op_name: str, opcode: str) -> str:
             return tag(f"head/{head}")
     if "framed_mse" in low or "loss" in low:
         return tag("loss")
+    if not in_model and src in ("features.py", "signal.py",
+                                "distortions.py", "pipeline.py",
+                                "kaldi_feats.py"):
+        return "prepare/targets"
     if "prepare" in low or "distort" in low or "stft" in low \
             or "feature" in low or "reverb" in low or "additive" in low \
             or "znorm" in low:
         return "prepare/targets"
     if any(k in low for k in ("adam", "optax", "apply_updates",
                               "update_moment", "bias_correction",
-                              "scale_by")):
+                              "scale_by")) or (
+            not in_model and src in ("transform.py", "base.py",
+                                     "combine.py", "alias.py")):
         return "optimizer"
     if opcode in ("copy", "copy-start", "copy-done", "transpose"):
         return "layout/copies"
+    if in_model:
+        return tag("model/glue")
     return tag("other")
 
 
@@ -150,6 +169,9 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--dump_hlo", default=None,
+                    help="write the optimized HLO text here for "
+                         "offline inspection of specific instructions")
     opts = ap.parse_args()
 
     import bench
@@ -203,6 +225,10 @@ def main():
     xla_bytes = float(ca.get("bytes accessed", float("nan")))
 
     hlo = compiled.as_text()
+    if opts.dump_hlo:
+        with open(opts.dump_hlo, "w") as f:
+            f.write(hlo)
+        print(f"[attr] HLO text -> {opts.dump_hlo}")
     comps = parse_computations(hlo)
     # top-level = the entry computation plus while/cond bodies it calls
     entry = [c for c in comps
@@ -217,8 +243,8 @@ def main():
           f"(ratio {total / max(xla_bytes, 1):.2f})")
 
     buckets = defaultdict(float)
-    for by, opcode, op_name, _ in rows:
-        buckets[classify(op_name, opcode)] += by
+    for by, opcode, op_name, _, src_file in rows:
+        buckets[classify(op_name, opcode, src_file)] += by
     ranked = sorted(buckets.items(), key=lambda kv: -kv[1])
     print("\n[attr] per-subsystem HBM traffic:")
     for k, v in ranked:
@@ -226,9 +252,10 @@ def main():
 
     print(f"\n[attr] top {opts.top} instructions:")
     rows.sort(key=lambda r: -r[0])
-    for by, opcode, op_name, name in rows[:opts.top]:
+    for by, opcode, op_name, name, src_file in rows[:opts.top]:
         print(f"  {by / 1e6:9.1f} MB  {opcode:14s} "
-              f"{classify(op_name, opcode):22s} {op_name[:90]}")
+              f"{classify(op_name, opcode, src_file):22s} "
+              f"{op_name[:80]} [{src_file.rsplit('/', 1)[-1]}]")
 
     if opts.json:
         with open(opts.json, "w") as f:
@@ -237,8 +264,9 @@ def main():
                 "parsed_bytes_total": total,
                 "buckets_gb": {k: v / 1e9 for k, v in ranked},
                 "top_instructions": [
-                    {"mb": by / 1e6, "opcode": opcode, "op_name": op_name}
-                    for by, opcode, op_name, _ in rows[:opts.top]],
+                    {"mb": by / 1e6, "opcode": opcode, "op_name": op_name,
+                     "source": src_file.rsplit("/", 1)[-1]}
+                    for by, opcode, op_name, _, src_file in rows[:opts.top]],
             }, f, indent=1)
 
 

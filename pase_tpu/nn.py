@@ -189,6 +189,11 @@ class Conv1D(nn.Module):
     stride: int = 1
     dilation: int = 1
     use_bias: bool = True
+    # (left, right) VIRTUAL padding: applied inside the conv op
+    # (ops/virtual_pad.py) so the padded activation is never
+    # materialized in HBM — exactly equal to pad_1d + conv
+    pad: tuple = (0, 0)
+    pad_mode: str = "constant"
 
     @nn.compact
     def __call__(self, x):
@@ -198,7 +203,12 @@ class Conv1D(nn.Module):
             "kernel",
             lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
             (self.kwidth, cin, self.features))
-        y = conv1d(x, kernel, self.stride, self.dilation)
+        if self.pad != (0, 0):
+            from pase_tpu.ops.virtual_pad import conv1d_padded
+            y = conv1d_padded(x, kernel, self.stride, self.dilation,
+                              pad=self.pad, pad_mode=self.pad_mode)
+        else:
+            y = conv1d(x, kernel, self.stride, self.dilation)
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -420,17 +430,24 @@ class FeBlock(nn.Module):
                          padding="SAME" if self.do_pad else "VALID",
                          pad_mode=self.pad_mode, name="conv")(x)
         else:
-            if self.kwidth > 1 and self.do_pad:
-                x = pad_1d(x, feblock_pad(self.kwidth, self.stride,
-                                          self.dilation), self.pad_mode)
+            fpad = (feblock_pad(self.kwidth, self.stride, self.dilation)
+                    if self.kwidth > 1 and self.do_pad else (0, 0))
             if reparam == "snorm":
+                if fpad != (0, 0):
+                    x = pad_1d(x, fpad, self.pad_mode)
                 h = SNConv1D(wfmaps, self.kwidth, self.stride, self.dilation,
                              name="conv")(x, train=train)
             elif reparam == "wnorm":
+                if fpad != (0, 0):
+                    x = pad_1d(x, fpad, self.pad_mode)
                 h = WNConv1D(wfmaps, self.kwidth, self.stride, self.dilation,
                              name="conv")(x)
             else:
+                # plain conv: virtualize the pad into the conv op — the
+                # reflect-padded activation copy never hits HBM
+                # (ops/virtual_pad.py; ~3 GB/step saved at PASE+ shapes)
                 h = Conv1D(wfmaps, self.kwidth, self.stride, self.dilation,
+                           pad=fpad, pad_mode=self.pad_mode,
                            name="conv")(x)
         norm = build_norm(post_norm, wfmaps)
         if norm is not None:
