@@ -329,9 +329,17 @@ def _sg(x, alpha):
 
 
 def run_reference(batches, n_steps, state_dict_out, bank="mini",
-                  policy="base", stats=None, temp=1.0, alpha_ema=0.5):
+                  policy="base", stats=None, temp=1.0, alpha_ema=0.5,
+                  perturb=0.0):
     """Torch side: reference pase model + the reference's OWN
-    backprop_scheduler object (worker_scheduler.py:9-429)."""
+    backprop_scheduler object (worker_scheduler.py:9-429).
+
+    perturb > 0 multiplies every initial parameter by (1 + perturb)
+    AFTER state_dict_out capture — the chaos-control knob
+    (experiments/chaos_control.py): rerunning the reference against
+    itself from a one-ulp-perturbed start measures the trajectory's
+    OWN divergence floor, the honest comparison envelope for any
+    cross-framework (torch vs jax) fp32 deviation."""
     import torch
     import torch.nn as tnn
     from conftest import load_reference
@@ -357,6 +365,10 @@ def run_reference(batches, n_steps, state_dict_out, bank="mini",
     model.train()
     state_dict_out.update(
         {k: v.detach().numpy().copy() for k, v in model.state_dict().items()})
+    if perturb:
+        with torch.no_grad():
+            for p in model.parameters():
+                p.mul_(1.0 + perturb)
 
     fe_opt = torch.optim.Adam(model.frontend.parameters(), lr=FE_LR)
     cls_opt = {w.name: torch.optim.Adam(w.parameters(), lr=MIN_LR)
