@@ -45,10 +45,13 @@ def build_probe_lists(work):
     for w in wavs:
         by_spk[w.split("-")[0]].append(w)
     tr, te = [], []
-    spks = sorted(by_spk.items())[:20]
+    # ALL speakers, few shots each — keeps the probe from saturating so
+    # the per-epoch curve actually discriminates encoder quality, and
+    # keeps the CPU-pinned probe cheap (this image has ONE host core)
+    spks = sorted(by_spk.items())
     for spk, files in spks:
-        te += [(f, spk) for f in files[:3]]
-        tr += [(f, spk) for f in files[3:12]]
+        te += [(f, spk) for f in files[:2]]
+        tr += [(f, spk) for f in files[2:6]]
     for name, rows in (("probe_tr.lst", tr), ("probe_te.lst", te)):
         with open(os.path.join(work, name), "w") as f:
             f.write("".join(f"{w} {s}\n" for w, s in rows))
@@ -58,10 +61,10 @@ def build_probe_lists(work):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours", type=float, default=4.0)
-    ap.add_argument("--epochs", type=int, default=45)
+    ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--chunk_size", type=int, default=32000)
-    ap.add_argument("--sup_freq", type=int, default=5)
+    ap.add_argument("--sup_freq", type=int, default=15)
     ap.add_argument("--min_steps", type=int, default=10000)
     ap.add_argument("--workdir", default="/tmp/pase_soak")
     ap.add_argument("--json", default=None)
@@ -92,7 +95,7 @@ def main():
             f"{sys.executable} {_REPO}/run_probe.py utt --fe_cfg {fe_cfg} "
             f"--fe_ckpt $model --train_list {work}/probe_tr.lst "
             f"--test_list {work}/probe_te.lst "
-            f"--data_root {work}/corpus/wavs --epochs 8 "
+            f"--data_root {work}/corpus/wavs --epochs 8 --platform cpu "
             f"--out $save_path/probe_$iteration.json\n")
 
     run_dir = os.path.join(work, "run")
@@ -115,7 +118,8 @@ def main():
         "--train_list", os.path.join(work, "probe_tr.lst"),
         "--test_list", os.path.join(work, "probe_te.lst"),
         "--data_root", os.path.join(work, "corpus", "wavs"),
-        "--epochs", "8", "--out", os.path.join(work, "probe_random.json")],
+        "--epochs", "8", "--platform", "cpu",
+        "--out", os.path.join(work, "probe_random.json")],
        log)
 
     # ---- audit ---------------------------------------------------------------
@@ -149,15 +153,19 @@ def main():
 
     ckpts = sorted(glob.glob(os.path.join(run_dir, "FE_e*.npz")))
     perf = np.asarray(perf)
+    # the first perf row of the run amortizes the one-time XLA compile
+    # (~40 s cached / minutes cold) — stability is judged on warm rows
+    warm = perf[1:] if len(perf) > 1 else perf
     out = {
         "steps_total": steps_seen,
         "epochs": opts.epochs,
-        "steps_per_sec_mean": float(perf.mean()),
-        "steps_per_sec_cov": float(perf.std() / perf.mean()),
-        "steps_per_sec_min": float(perf.min()),
-        "steps_per_sec_max": float(perf.max()),
+        "steps_per_sec_mean": float(warm.mean()),
+        "steps_per_sec_cov": float(warm.std() / warm.mean()),
+        "steps_per_sec_min": float(warm.min()),
+        "steps_per_sec_max": float(warm.max()),
+        "steps_per_sec_first_incl_compile": float(perf[0]),
         "audio_sec_per_sec_mean": float(
-            perf.mean() * opts.batch_size * opts.chunk_size / 16000),
+            warm.mean() * opts.batch_size * opts.chunk_size / 16000),
         "total_loss_first": totals[0], "total_loss_last": totals[-1],
         "all_losses_finite": bool(np.isfinite(totals).all()),
         "fe_snapshots": len(ckpts),

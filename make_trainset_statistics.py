@@ -22,7 +22,17 @@ def main():
     p.add_argument("--hop", type=int, default=160)
     p.add_argument("--random_scale", type=str, default="False")
     p.add_argument("--synthetic", action="store_true", default=False)
+    p.add_argument("--jax_cache_dir", type=str, default=".jax_cache",
+                   help="persistent XLA compile cache (the remote axon "
+                        "compile of the feature-extraction graph is "
+                        "minutes-scale; cached repeats are seconds)")
     opts = p.parse_args()
+
+    if opts.jax_cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", opts.jax_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from pase_tpu.model import parse_workers_cfg
     from pase_tpu.data.pipeline import compute_stats, save_stats_pkl

@@ -60,7 +60,20 @@ def main():
     p.add_argument("--dec_cfg", default=None,
                    help="timit-full: decoder cfg JSON (ASR/cfg/decoder.cfg)")
     p.add_argument("--out_folder", default="timit_full_exp")
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="force the jax backend; 'cpu' keeps an async "
+                        "probe (AuxiliarSuperviser) off the training "
+                        "chip, like the reference pinning probes to a "
+                        "spare CUDA device")
     opts = p.parse_args()
+
+    if opts.platform == "cpu":
+        # must land before any jax backend init (the axon sitecustomize
+        # pins the platform via jax config, so env JAX_PLATFORMS alone
+        # is ignored); 'tpu' keeps whatever the site pins (the chip)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from pase_tpu.probes import tasks
 
