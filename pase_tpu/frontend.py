@@ -70,6 +70,7 @@ class WaveFe(nn.Module):
     rnn_dropout: float = 0.0
     rnn_type: str = "qrnn"
     qrnn_impl: str = "auto"      # 'auto' | 'scan' | 'pallas' (nn.QRNN)
+    virtual_pads: bool = True    # FeBlock pad-in-conv (nn.FeBlock)
     vq_K: Optional[int] = None
     vq_beta: float = 0.25
     vq_gamma: float = 0.99
@@ -111,6 +112,7 @@ class WaveFe(nn.Module):
                             pad_mode=self.pad_mode, act=self.activation,
                             norm_type=self.norm_type,
                             sincnet=sinc_here, sr=self.sr,
+                            virtual_pads=self.virtual_pads,
                             name=f"blocks_{i}")(h, train=train)
             if self.denseskips and (i + 1) < nblocks:
                 # The 1x1 projection is bias-free and the skip fuse
@@ -178,7 +180,7 @@ _WAVEFE_KEYS = {
     "num_inputs", "sincnet", "kwidths", "strides", "dilations", "fmaps",
     "norm_type", "pad_mode", "sr", "emb_dim", "rnn_dim", "activation",
     "rnn_pool", "rnn_layers", "rnn_dropout", "rnn_type", "qrnn_impl",
-    "vq_K", "vq_beta",
+    "virtual_pads", "vq_K", "vq_beta",
     "vq_gamma", "norm_out", "tanh_out", "resblocks", "denseskips",
     "densemerge",
 }

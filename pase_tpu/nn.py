@@ -413,6 +413,13 @@ class FeBlock(nn.Module):
     sincnet: bool = False
     sr: int = 16000
     do_pad: bool = True
+    # virtualize the plain-conv reflect pad into the conv op
+    # (ops/virtual_pad.py, ~3 GB/step HBM saved in training). AOT
+    # serving exports pin this OFF (pase_tpu/serving.py): the edge
+    # fixup's splice makes XLA:CPU's conv tiling batch-dependent at the
+    # 1-ulp level, breaking the exported artifact's batched == single
+    # bitwise contract (tests/test_serving.py).
+    virtual_pads: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -446,6 +453,9 @@ class FeBlock(nn.Module):
                 # plain conv: virtualize the pad into the conv op — the
                 # reflect-padded activation copy never hits HBM
                 # (ops/virtual_pad.py; ~3 GB/step saved at PASE+ shapes)
+                if fpad != (0, 0) and not self.virtual_pads:
+                    x = pad_1d(x, fpad, self.pad_mode)
+                    fpad = (0, 0)
                 h = Conv1D(wfmaps, self.kwidth, self.stride, self.dilation,
                            pad=fpad, pad_mode=self.pad_mode,
                            name="conv")(x)

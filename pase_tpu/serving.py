@@ -78,6 +78,7 @@ def export_encoder(enc, out_dir: str,
     from jax import export as jexport
 
     module = enc.module
+    pins = {}
     if getattr(module, "qrnn_impl", "scan") != "scan":
         # Pin the XLA associative-scan QRNN for export: the Pallas
         # kernel (a) cannot trace a SYMBOLIC batch dim (its block-size
@@ -87,9 +88,19 @@ def export_encoder(enc, out_dir: str,
         # rehearsal export-jax died exactly here while the CPU-forced CI
         # never could (recipes/rehearsal.sh post-mortem). scan == pallas
         # within float noise (tests/test_qrnn.py impl-equality).
+        pins["qrnn_impl"] = "scan"
+    if getattr(module, "virtual_pads", False):
+        # Pin materialized pads for export: the virtual-pad edge-splice
+        # (ops/virtual_pad.py) makes XLA:CPU's conv tiling depend on the
+        # runtime batch at the 1-ulp level, which would break the
+        # artifact's batched-encode == single-encode bitwise contract
+        # (ServingEncoder.encode_batch, tests/test_serving.py). The pad
+        # materialization it avoids is a training-step HBM concern, not
+        # a serving one.
+        pins["virtual_pads"] = False
+    if pins:
         from pase_tpu.frontend import build_frontend_module
-        module = build_frontend_module({**dict(enc.cfg),
-                                        "qrnn_impl": "scan"})
+        module = build_frontend_module({**dict(enc.cfg), **pins})
     variables = _plain(enc.variables)
 
     def _is_float(x):
