@@ -57,6 +57,15 @@ _INSTR_RE = re.compile(
 _OPERAND_RE = re.compile(r"%([^\s,()]+)")
 _META_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]*)"')
 _SRC_RE = re.compile(r'source_file="([^"]*)"')
+_CC_TARGET_RE = re.compile(r'custom_call_target="([^"]*)"')
+
+# custom-call targets that alias/annotate buffers without moving bytes:
+# ConcatBitcast is a zero-copy concatenation VIEW, the in-bound marker
+# is an identity compiler hint, AllocateBuffer reserves without reading
+# (GatherScatterIndicesBitpacked stays counted — it writes packed
+# indices, tiny but real)
+_ALIAS_CUSTOM_CALLS = {"ConcatBitcast", "AssumeGatherIndicesInBound",
+                       "AllocateBuffer"}
 
 
 def parse_computations(hlo: str):
@@ -83,6 +92,10 @@ def parse_computations(hlo: str):
         operands = _OPERAND_RE.findall(args_part)
         meta = _META_RE.search(line)
         srcm = _SRC_RE.search(line)
+        if opcode == "custom-call":
+            ccm = _CC_TARGET_RE.search(line)
+            if ccm and ccm.group(1) in _ALIAS_CUSTOM_CALLS:
+                opcode = "custom-call-alias"    # counted as free below
         comps[cur].append((name, shape, opcode, operands,
                            meta.group(1) if meta else "",
                            srcm.group(1) if srcm else ""))
@@ -91,7 +104,8 @@ def parse_computations(hlo: str):
 
 # opcodes that move no HBM bytes at the top level
 _FREE = {"parameter", "constant", "bitcast", "tuple", "get-tuple-element",
-         "after-all", "partition-id", "replica-id", "iota"}
+         "after-all", "partition-id", "replica-id", "iota",
+         "custom-call-alias"}
 
 
 def instruction_bytes(comps, comp_name):
@@ -131,8 +145,12 @@ def classify(op_name: str, opcode: str, src_file: str = "") -> str:
     if opcode in ("all-reduce", "all-gather", "reduce-scatter",
                   "collective-permute"):
         return "collectives"
-    if "qrnn" in low or "forget_mult" in low or "custom-call" == opcode:
+    if "qrnn" in low or "forget_mult" in low or "pallas" in low:
         return tag("encoder/qrnn")
+    if opcode == "custom-call" and not s:
+        # TPU runtime custom-calls carrying NO op_name metadata (buffer
+        # donation/annotation etc.) — keep them out of model buckets
+        return "runtime custom-calls (unattributed)"
     if "/frontend/" in low or "sinc" in low or "feblock" in low \
             or "denseskip" in low or "wavefe" in low:
         return tag("encoder")
@@ -141,8 +159,12 @@ def classify(op_name: str, opcode: str, src_file: str = "") -> str:
                  "chunk", "cmi", "mi", "spc", "gap", "overlap"):
         if f"/{head}/" in low or f"'{head}'" in low:
             return tag(f"head/{head}")
-    if "framed_mse" in low or "loss" in low:
+    if "framed_mse" in low or "loss" in low or src == "losses.py":
         return tag("loss")
+    if "jit(fft)" in low:
+        # the reverb distortion's FFT convolution (data/distortions.py)
+        # loses its name stack inside jit(fft) — it is prepare-stage work
+        return "prepare/targets"
     if not in_model and src in ("features.py", "signal.py",
                                 "distortions.py", "pipeline.py",
                                 "kaldi_feats.py"):
@@ -172,6 +194,10 @@ def main():
     ap.add_argument("--dump_hlo", default=None,
                     help="write the optimized HLO text here for "
                          "offline inspection of specific instructions")
+    ap.add_argument("--bucket_detail", default=None,
+                    help="print EVERY instruction of one bucket (e.g. "
+                         "'encoder/qrnn [fwd]') instead of only the "
+                         "global top rows")
     opts = ap.parse_args()
 
     import bench
@@ -256,6 +282,14 @@ def main():
         print(f"  {by / 1e6:9.1f} MB  {opcode:14s} "
               f"{classify(op_name, opcode, src_file):22s} "
               f"{op_name[:80]} [{src_file.rsplit('/', 1)[-1]}]")
+
+    if opts.bucket_detail:
+        want = opts.bucket_detail
+        print(f"\n[attr] '{want}' bucket rows:")
+        for by, opcode, op_name, name, src_file in rows:
+            if classify(op_name, opcode, src_file) == want:
+                print(f"  {by / 1e6:9.1f} MB  {opcode:14s} "
+                      f"{op_name[:90]} [{src_file.rsplit('/', 1)[-1]}]")
 
     if opts.json:
         with open(opts.json, "w") as f:
