@@ -70,7 +70,8 @@ class WaveFe(nn.Module):
     rnn_dropout: float = 0.0
     rnn_type: str = "qrnn"
     qrnn_impl: str = "auto"      # 'auto' | 'scan' | 'pallas' (nn.QRNN)
-    virtual_pads: bool = True    # FeBlock pad-in-conv (nn.FeBlock)
+    virtual_pads: Any = "auto"   # FeBlock pad-in-conv: True/False/'auto'
+                                 # ('auto' = TPU only, see nn.FeBlock)
     vq_K: Optional[int] = None
     vq_beta: float = 0.25
     vq_gamma: float = 0.99

@@ -414,12 +414,15 @@ class FeBlock(nn.Module):
     sr: int = 16000
     do_pad: bool = True
     # virtualize the plain-conv reflect pad into the conv op
-    # (ops/virtual_pad.py, ~3 GB/step HBM saved in training). AOT
-    # serving exports pin this OFF (pase_tpu/serving.py): the edge
-    # fixup's splice makes XLA:CPU's conv tiling batch-dependent at the
-    # 1-ulp level, breaking the exported artifact's batched == single
-    # bitwise contract (tests/test_serving.py).
-    virtual_pads: bool = True
+    # (ops/virtual_pad.py, ~3 GB/step HBM saved in training).
+    # 'auto' (default) = TPU only, exactly like nn.QRNN's impl='auto':
+    # in fused graphs the splice shifts XLA:CPU conv rounding by ~1 ulp
+    # PER STEP, which chaos-amplifies past the CPU trajectory gates
+    # (tests/test_training_regression.py, test_trajectory_parity.py)
+    # and makes CPU conv tiling batch-dependent, breaking the sharded ==
+    # single and the exported batched == single bitwise contracts. AOT
+    # serving exports additionally pin False (pase_tpu/serving.py).
+    virtual_pads: Any = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -453,7 +456,12 @@ class FeBlock(nn.Module):
                 # plain conv: virtualize the pad into the conv op — the
                 # reflect-padded activation copy never hits HBM
                 # (ops/virtual_pad.py; ~3 GB/step saved at PASE+ shapes)
-                if fpad != (0, 0) and not self.virtual_pads:
+                if isinstance(self.virtual_pads, bool):
+                    use_vpad = self.virtual_pads
+                else:                       # 'auto' -> TPU backends only
+                    from pase_tpu.ops.pallas_qrnn import pallas_available
+                    use_vpad = pallas_available()
+                if fpad != (0, 0) and not use_vpad:
                     x = pad_1d(x, fpad, self.pad_mode)
                     fpad = (0, 0)
                 h = Conv1D(wfmaps, self.kwidth, self.stride, self.dilation,

@@ -89,7 +89,10 @@ def export_encoder(enc, out_dir: str,
         # never could (recipes/rehearsal.sh post-mortem). scan == pallas
         # within float noise (tests/test_qrnn.py impl-equality).
         pins["qrnn_impl"] = "scan"
-    if getattr(module, "virtual_pads", False):
+    if getattr(module, "virtual_pads", False) is not False:
+        # True OR 'auto' (the platform-resolved default) both pin to
+        # False: the artifact must not depend on the exporting host's
+        # backend.
         # Pin materialized pads for export: the virtual-pad edge-splice
         # (ops/virtual_pad.py) makes XLA:CPU's conv tiling depend on the
         # runtime batch at the 1-ulp level, which would break the

@@ -145,3 +145,28 @@ def test_kfold_classification_probe(synth_corpus):
     assert metrics["folds"] == 3
     assert 0.0 <= metrics["sentence_acc_mean"] <= 1.0
     assert metrics["sentence_acc_mean"] >= 0.6, metrics
+
+
+@pytest.mark.slow
+def test_run_probe_cli_platform_cpu(synth_corpus, tmp_path):
+    """run_probe.py --platform cpu forces the jax backend in a fresh
+    process (the AuxiliarSuperviser pinning used by experiments/
+    tpu_soak.py) and completes the utt probe end to end."""
+    import json
+    import subprocess
+    import sys
+    cfg = tmp_path / "fe.cfg"
+    cfg.write_text(json.dumps(SMALL_FE))
+    out = tmp_path / "probe.json"
+    code = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "run_probe.py"),
+         "utt", "--fe_cfg", str(cfg),
+         "--train_list", str(synth_corpus / "train.lst"),
+         "--test_list", str(synth_corpus / "test.lst"),
+         "--data_root", str(synth_corpus),
+         "--epochs", "3", "--platform", "cpu", "--out", str(out)],
+        capture_output=True, text=True, timeout=580)
+    assert code.returncode == 0, code.stderr[-2000:]
+    m = json.loads(out.read_text())
+    assert 0.0 <= m["test_sentence_acc"] <= 1.0

@@ -101,7 +101,10 @@ def test_feblock_uses_virtual_pad_exactly():
     from pase_tpu.nn import FeBlock
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 120, 8).astype(np.float32))
-    blk = FeBlock(fmaps=16, kwidth=11, stride=2, norm_type="bnorm")
+    # virtual_pads=True forces the vpad path even on the CPU test
+    # backend ('auto' resolves to False off-TPU, like nn.QRNN's 'auto')
+    blk = FeBlock(fmaps=16, kwidth=11, stride=2, norm_type="bnorm",
+                  virtual_pads=True)
     v = blk.init(jax.random.PRNGKey(0), x, train=False)
     y = blk.apply(v, x, train=False)
     # manual reference: reflect pad + VALID conv with the same kernel
@@ -119,3 +122,22 @@ def test_feblock_uses_virtual_pad_exactly():
     want = jnp.where(normed >= 0, normed, alpha * normed)
     np.testing.assert_allclose(np.asarray(y), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_feblock_virtual_pads_auto_and_forced_agree():
+    """'auto' (materialized on the CPU test backend) and forced
+    virtual_pads=True produce the same function — the platform switch
+    changes lowering, not semantics. Also pins that both settings share
+    one parameter tree (flax fields are static), so checkpoints are
+    interchangeable across platforms."""
+    from pase_tpu.nn import FeBlock
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(3, 200, 8).astype(np.float32))
+    auto_blk = FeBlock(fmaps=16, kwidth=11, stride=2, norm_type="bnorm")
+    on_blk = FeBlock(fmaps=16, kwidth=11, stride=2, norm_type="bnorm",
+                     virtual_pads=True)
+    v = auto_blk.init(jax.random.PRNGKey(1), x, train=False)
+    y_auto = auto_blk.apply(v, x, train=False)
+    y_on = on_blk.apply(v, x, train=False)   # same variables, vpad path
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_on),
+                               rtol=1e-6, atol=1e-6)
