@@ -279,16 +279,14 @@ def gammatone(wav, f_min=500, n_channels=40, hop=160, win=400, rate=16000,
     from pase_tpu.nn import _s2d_bank_conv
     # conv1d is cross-correlation; reverse the IRs for true causal conv
     filtered = _s2d_bank_conv(xp, bank[:, ::-1], r=8)   # [B, T, C]
-    power = jnp.square(jnp.transpose(filtered, (0, 2, 1)))  # [B, C, T]
+    power = jnp.square(filtered)                         # [B, T, C]
     ncols = (t - win) // hop + 1
-    b, c, _ = power.shape
-    # windowed mean WITHOUT materializing [B*C, F, win] frames (2 GB for
-    # win=2048): hierarchical box sum, one pass (ops/signal.py)
-    from pase_tpu.ops.signal import framed_box_mean
-    y = jnp.sqrt(framed_box_mean(power.reshape(b * c, t), win, hop,
-                                 n_frames=ncols)).reshape(b, c, ncols)
-    y = jnp.log(y + 1e-10)
-    y = jnp.transpose(y, (0, 2, 1))                # [B, F, C]
+    # windowed mean WITHOUT materializing [B, F, win, C] frames (2 GB for
+    # win=2048): hierarchical box sum, one pass, channels kept on the lane
+    # axis so no layout transpose is needed (ops/signal.py)
+    from pase_tpu.ops.signal import framed_box_mean_ntc
+    y = jnp.sqrt(framed_box_mean_ntc(power, win, hop, n_frames=ncols))
+    y = jnp.log(y + 1e-10)                         # [B, F, C]
     # deltas on the gtgram frame count, then replicate-pad (the
     # reference computes librosa deltas BEFORE padding,
     # transforms.py:586-600)

@@ -43,20 +43,32 @@ def framed_box_mean(x, win: int, hop: int, n_frames: int):
     summation: per-hop bin sums, a cumulative sum over bins, plus a
     partial-head bin for win % hop != 0. One pass over the data.
     """
+    return framed_box_mean_ntc(x[:, :, None], win, hop, n_frames)[..., 0]
+
+
+def framed_box_mean_ntc(x, win: int, hop: int, n_frames: int):
+    """framed_box_mean over axis 1 of an NTC tensor [B, T, C].
+
+    Same hierarchical box-sum as :func:`framed_box_mean` but with channels
+    kept on the trailing (lane) axis, so callers with NTC-layout inputs
+    (e.g. the gammatone filterbank output) need NO layout transpose around
+    the pooling — on TPU the [B, T, C] -> [B, C, T] copy is a full extra
+    pass of the tensor through HBM.
+    """
     assert win >= hop, "framed_box_mean requires win >= hop"
-    b, t = x.shape
+    b, t, c = x.shape
     nbins_full = win // hop
     rem = win - nbins_full * hop
     # cover the last window: start (n_frames-1)*hop, end + win
     need = (n_frames - 1) * hop + win
     nbins = -(-need // hop)                     # ceil
     if nbins * hop > t:
-        x = jnp.pad(x, ((0, 0), (0, nbins * hop - t)))
-    xb = x[:, :nbins * hop].reshape(b, nbins, hop)
-    bins = jnp.sum(xb, axis=-1)                               # [B, nbins]
-    heads = jnp.sum(xb[:, :, :rem], axis=-1) if rem else None  # [B, nbins]
+        x = jnp.pad(x, ((0, 0), (0, nbins * hop - t), (0, 0)))
+    xb = x[:, :nbins * hop].reshape(b, nbins, hop, c)
+    bins = jnp.sum(xb, axis=2)                               # [B, nbins, C]
+    heads = jnp.sum(xb[:, :, :rem], axis=2) if rem else None  # [B, nbins, C]
     cs = jnp.cumsum(bins, axis=1)
-    cs = jnp.concatenate([jnp.zeros((b, 1), x.dtype), cs], axis=1)
+    cs = jnp.concatenate([jnp.zeros((b, 1, c), x.dtype), cs], axis=1)
     idx = np.arange(n_frames)
     # window t = bins [t, t+nbins_full) + first `rem` samples of bin
     # t + nbins_full

@@ -81,6 +81,27 @@ def test_gammatone_shape_and_tuning():
     assert abs(cf[base.argmax()] - 1000) < 200
 
 
+def test_framed_box_mean_ntc_equals_rows():
+    """The transpose-free NTC box mean (gammatone's pooling path) equals
+    the per-row form and the explicit framed mean, channel by channel."""
+    from pase_tpu.ops.signal import (framed_box_mean, framed_box_mean_ntc,
+                                     frame_signal)
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 1000, 5).astype(np.float32)
+    for win, hop, nf in [(400, 160, 4), (320, 160, 6), (160, 160, 6)]:
+        got = np.asarray(framed_box_mean_ntc(jnp.asarray(x), win, hop, nf))
+        assert got.shape == (2, nf, 5)
+        for c in range(5):
+            rows = np.asarray(framed_box_mean(jnp.asarray(x[:, :, c]),
+                                              win, hop, nf))
+            np.testing.assert_allclose(got[:, :, c], rows, atol=1e-6)
+            xp = np.pad(x[:, :, c], ((0, 0), (0, win)))
+            want = np.asarray(frame_signal(jnp.asarray(xp), win, hop,
+                                           nf)).mean(-1)
+            np.testing.assert_allclose(got[:, :, c], want,
+                                       atol=2e-5, rtol=1e-5)
+
+
 def test_prosody_f0_tracking():
     # 110 Hz sawtooth-ish (harmonic-rich) signal
     n = np.arange(32000)
